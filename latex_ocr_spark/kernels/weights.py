@@ -1,0 +1,64 @@
+"""Deterministic seeded model weights.
+
+No trained checkpoint ships with the reference (.MISSING_LARGE_BLOBS), so
+"matching the reference" operationally means matching a seeded oracle that
+implements the reference architecture (SURVEY.md §7 'Hard parts'). Weights are
+generated once from a fixed seed, identically on driver and (via Spark
+broadcast) on every executor.
+
+Shapes mirror the reference variables:
+  conv layers   — /root/reference/model/encoder.py:31-57
+  att_img dense — model/components/attention_mechanism.py:43
+  att_h/beta    — model/components/attention_mechanism.py:75-90
+  init states   — model/components/attention_mechanism.py:124-153 (fields c,h,o)
+  LSTM kernel   — tf.contrib.rnn.LSTMCell (i,j,f,o gate order, forget_bias=1)
+  o_W_c/o_W_h/y_W_o — model/components/attention_cell.py:78-86
+  embedding_table/start_token — model/decoder.py:41-46 (uniform(-1,1), L2-normalized)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ModelConfig
+
+
+def _glorot(rng: np.random.Generator, shape: tuple[int, ...]) -> np.ndarray:
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = int(shape[-1])
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return rng.uniform(-limit, limit, size=shape).astype(np.float32)
+
+
+def _embedding(rng: np.random.Generator, shape: tuple[int, ...]) -> np.ndarray:
+    t = rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
+    norm = np.sqrt((t * t).sum(axis=-1, keepdims=True))
+    return (t / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def init_weights(cfg: ModelConfig, n_tok: int) -> dict[str, np.ndarray]:
+    """Build the full weight dict in a fixed name order (determinism)."""
+    rng = np.random.default_rng(cfg.weights_seed)
+    w: dict[str, np.ndarray] = {}
+    c_in = 1
+    for i, c_out in enumerate(cfg.conv_channels):
+        w[f"conv{i}_W"] = _glorot(rng, (3, 3, c_in, c_out))
+        w[f"conv{i}_b"] = np.zeros(c_out, dtype=np.float32)
+        c_in = c_out
+    n_channels = cfg.conv_channels[-1]
+    w["att_img_W"] = _glorot(rng, (n_channels, cfg.dim_e))
+    w["att_h_W"] = _glorot(rng, (cfg.num_units, cfg.dim_e))
+    w["att_beta"] = _glorot(rng, (cfg.dim_e, 1))
+    # initial states from mean image — LSTMStateTuple fields ("c", "h"), then "o"
+    for name, dim in (("c", cfg.num_units), ("h", cfg.num_units), ("o", cfg.dim_o)):
+        w[f"W_{name}_0"] = _glorot(rng, (n_channels, dim))
+        w[f"b_{name}_0"] = np.zeros(dim, dtype=np.float32)
+    lstm_in = cfg.dim_embeddings + cfg.dim_o
+    w["lstm_kernel"] = _glorot(rng, (lstm_in + cfg.num_units, 4 * cfg.num_units))
+    w["lstm_bias"] = np.zeros(4 * cfg.num_units, dtype=np.float32)
+    w["o_W_c"] = _glorot(rng, (n_channels, cfg.dim_o))
+    w["o_W_h"] = _glorot(rng, (cfg.num_units, cfg.dim_o))
+    w["y_W_o"] = _glorot(rng, (cfg.dim_o, n_tok))
+    w["embedding_table"] = _embedding(rng, (n_tok, cfg.dim_embeddings))
+    w["start_token"] = _embedding(rng, (1, cfg.dim_embeddings))[0]
+    return w

@@ -1,0 +1,127 @@
+"""The bucketed-batch inference operator — the heart of the engine.
+
+Two pandas-UDF stages (and nothing per-row-Python anywhere, north rule):
+
+  1. ``preprocess_spans`` (mapInPandas): PNG decode → greyscale (P1) → crop
+     (P3) → pad-to-bucket (P4) → downsample (P5); emits the bucket id — the
+     batching/shuffle key (G1, /root/reference/model/utils/data_generator.py:84-122)
+     — plus a salt to split hot buckets (SURVEY.md §7 'Skew').
+  2. ``decode_groups`` (groupBy(bucket, salt).applyInPandas): batches
+     same-shape canvases into dense uint8 tensors (G3 — trivial here because a
+     bucket guarantees one shape) and runs the CNN encoder + attention LSTM
+     decode (M1-M8) with broadcast weights, chunked by a pixel budget so UDF
+     memory is bounded regardless of group size.
+
+At cluster scale the repartition on (bucket, salt) is the one unavoidable
+shuffle; its payload is the downsampled uint8 canvas (4× smaller than the
+source PNG raster), and AQE coalesces the small buckets.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ModelConfig, PipelineConfig
+from ..fixtures.png import decode_png
+from ..fixtures.vocab import ID_END, ID_TO_TOK, N_TOK
+from ..kernels import image_ops
+from ..kernels.beam import beam_decode
+from ..kernels.decode import AttentionDecoder
+from ..kernels.encoder import encode
+from ..kernels.text_ops import decode_ids_to_latex
+
+PREP_SCHEMA = (
+    "doc_id string, `offset` int, media_ref string, "
+    "bucket_w int, bucket_h int, salt int, ch int, cw int, canvas binary"
+)
+DECODED_SCHEMA = "doc_id string, `offset` int, media_ref string, latex string, n_tokens int"
+
+
+def preprocess_spans(media_joined: DataFrame, pipe: PipelineConfig) -> DataFrame:
+    """(doc_id, offset, media_ref, image) → prepro'd canvases + bucket keys."""
+    buckets = list(pipe.buckets)
+    n_salt = pipe.salt_buckets
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "offset", "media_ref", "bucket_w", "bucket_h",
+                "salt", "ch", "cw", "canvas")}
+            for doc_id, offset, ref, png in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+            ):
+                rgb = decode_png(bytes(png))
+                canvas, bw, bh, _ok = image_ops.preprocess(rgb, buckets=buckets)
+                out["doc_id"].append(doc_id)
+                out["offset"].append(int(offset))
+                out["media_ref"].append(ref)
+                out["bucket_w"].append(int(bw))
+                out["bucket_h"].append(int(bh))
+                # deterministic salt, independent of partitioning
+                out["salt"].append(zlib.crc32(ref.encode()) % n_salt)
+                out["ch"].append(canvas.shape[0])
+                out["cw"].append(canvas.shape[1])
+                out["canvas"].append(np.ascontiguousarray(canvas).tobytes())
+            yield pd.DataFrame(out)
+
+    return media_joined.mapInPandas(run, schema=PREP_SCHEMA)
+
+
+def decode_groups(
+    prepped: DataFrame,
+    weights_bc,
+    cfg: ModelConfig,
+    pipe: PipelineConfig,
+) -> DataFrame:
+    """Bucket-grouped batch inference with broadcast weights."""
+    cfg_dict = cfg.to_dict()
+    budget = pipe.batch_pixel_budget
+
+    def infer(pdf):
+        import pandas as pd
+
+        mcfg = ModelConfig.from_dict(cfg_dict)
+        dec = AttentionDecoder(weights_bc.value, mcfg, ID_END)
+        rows_doc, rows_off, rows_ref, rows_tex, rows_n = [], [], [], [], []
+        # within a (bucket, salt) group all canvases share a shape, except the
+        # no-bucket-fits fallback group (bucket = padded size, one shape per
+        # size anyway since bucket_w/bucket_h ARE the canvas dims pre-downsample)
+        for (ch, cw), grp in pdf.groupby(["ch", "cw"], sort=True):
+            n_per_batch = max(1, budget // max(ch * cw, 1))
+            for s in range(0, len(grp), n_per_batch):
+                batch = np.stack(
+                    [np.frombuffer(a, dtype=np.uint8).reshape(ch, cw)
+                     for a in grp["canvas"].iloc[s : s + n_per_batch]]
+                )
+                enc = encode(batch, weights_bc.value, mcfg)
+                if mcfg.decoding == "beam_search":
+                    out_ids = beam_decode(dec, enc)[:, 0, :]
+                else:
+                    out_ids = dec.greedy_decode(enc)
+                sub = grp.iloc[s : s + n_per_batch]
+                for row_ids, doc_id, offset, ref in zip(
+                    out_ids, sub["doc_id"], sub["offset"], sub["media_ref"]
+                ):
+                    latex = decode_ids_to_latex(row_ids, ID_END, ID_TO_TOK)
+                    rows_doc.append(doc_id)
+                    rows_off.append(int(offset))
+                    rows_ref.append(ref)
+                    rows_tex.append(latex)
+                    rows_n.append(len(latex.split(" ")) if latex else 0)
+        return pd.DataFrame(
+            {"doc_id": rows_doc, "offset": rows_off, "media_ref": rows_ref,
+             "latex": rows_tex, "n_tokens": rows_n}
+        )
+
+    return (
+        prepped.repartition("bucket_w", "bucket_h", "salt")
+        .groupBy("bucket_w", "bucket_h", "salt")
+        .applyInPandas(infer, schema=DECODED_SCHEMA)
+    )

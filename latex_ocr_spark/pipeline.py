@@ -1,0 +1,105 @@
+"""End-to-end extraction pipeline (the reference's evaluate/predict query,
+SURVEY.md §3.3, re-expressed Spark-first):
+
+    docs scan (partition-pruned)
+      → posexplode(spans)                       # S2 analog
+      → route: text spans pass through          # predicate
+      → media spans ⋈ media table on media_ref  # J1/J2 equi join
+      → mapInPandas prepro + bucket assign      # P1,P3,P4,P5 + G1
+      → repartition(bucket, salt)               # the one shuffle that matters
+      → groupBy(bucket, salt).applyInPandas     # M1..M8 + F5 + P7, broadcast weights
+      → unionByName(text spans)                 # set op
+      → groupBy(doc_id).sort_array(collect_list)# (doc_id, offset) reassembly
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ModelConfig, PipelineConfig
+from .fixtures.vocab import N_TOK
+from .kernels.weights import init_weights
+from .operators.inference import decode_groups, preprocess_spans
+from .operators.reassemble import reassemble
+from .sources import read_docs, read_media
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """docs → one row per span, keyed by (doc_id, part, offset)."""
+    return docs.select(
+        "doc_id",
+        "part",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        "part",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def broadcast_weights(spark: SparkSession, cfg: ModelConfig):
+    """Seeded deterministic weights, broadcast once per job (K4 analog —
+    the reference restores a TF checkpoint per process, model/base.py:33-48)."""
+    return spark.sparkContext.broadcast(init_weights(cfg, N_TOK))
+
+
+def extract_spans(
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+    parts: list[int] | None = None,
+    weights_bc=None,
+) -> DataFrame:
+    """Flat extraction result: one row per span with media spans' text rewritten
+    to the decoded LaTeX. Columns: doc_id, part, kind, text, media_ref, offset."""
+    cfg = cfg or ModelConfig.small()
+    pipe = pipe or PipelineConfig()
+    if weights_bc is None:
+        weights_bc = broadcast_weights(spark, cfg)
+
+    spans = explode_spans(read_docs(spark, corpus_dir, parts=parts))
+    text_spans = spans.filter(F.col("kind") == "text")
+    media_spans = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "part", "offset", "media_ref"
+    )
+
+    media_tbl = read_media(spark, corpus_dir).select("media_ref", "image")
+    joined = media_spans.join(media_tbl, "media_ref")
+
+    prepped = preprocess_spans(
+        joined.select("doc_id", "offset", "media_ref", "image"), pipe
+    )
+    decoded = decode_groups(prepped, weights_bc, cfg, pipe)
+
+    # re-attach part (derivable from doc_id; avoids carrying it through the UDFs)
+    decoded = decoded.withColumn(
+        "part",
+        (F.substring("doc_id", 5, 100).cast("long") % pipe.n_parts).cast("int"),
+    )
+    media_out = decoded.select(
+        "doc_id",
+        "part",
+        F.lit("media").alias("kind"),
+        F.col("latex").alias("text"),
+        "media_ref",
+        "offset",
+    )
+    return text_spans.unionByName(media_out)
+
+
+def extract_documents(
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+    parts: list[int] | None = None,
+    weights_bc=None,
+) -> DataFrame:
+    """Full pipeline output: (doc_id, part, spans) span-sequence per document."""
+    flat = extract_spans(spark, corpus_dir, cfg, pipe, parts, weights_bc)
+    return reassemble(flat)

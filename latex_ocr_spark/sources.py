@@ -1,0 +1,119 @@
+"""Sources & sinks: schema-enforced reads of the corpus tables.
+
+Replaces the reference's convention-only file formats (SURVEY.md §2.1 S1-S4)
+with explicit StructType schemas and fail-fast validation. Tables are Iceberg
+when the runtime has the connector on the classpath, else plain parquet with
+identical schemas (SURVEY.md §7 'Stack' — the container ships no Iceberg jar,
+so parquet is the tested path; partition layout and pruning semantics match).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .fixtures.corpus import MAX_MEDIA_PER_DOC, docs_spark_sql, render_media_ref
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), False),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("image", T.BinaryType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("latex_true", T.StringType(), False),  # fixture lineage only
+    ]
+)
+
+
+def corpus_dir(sf_dir: str, root: str | None = None) -> str:
+    """Cache directory for the synthesized corpus derived from ``sf_dir``."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = root or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".fixtures")
+    return os.path.abspath(os.path.join(root, tag))
+
+
+def build_corpus(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Materialize the deterministic interleaved corpus (docs + media parquet)
+    derived from ``<sf_dir>/documents.parquet``. Idempotent: returns the cached
+    dir if the _SUCCESS markers already exist.
+
+    docs/  — (doc_id, part, spans) written partitionBy(part) → partition
+             pruning is real directory pruning, the Iceberg identity-partition
+             analog (FIXTURES.md §1).
+    media/ — (media_ref, image PNG, height, width, latex_true) rendered by the
+             seeded glyph renderer inside mapInPandas (Arrow-batched).
+    """
+    out_dir = out_dir or corpus_dir(sf_dir)
+    docs_path = os.path.join(out_dir, "docs")
+    media_path = os.path.join(out_dir, "media")
+    if os.path.exists(os.path.join(docs_path, "_SUCCESS")) and os.path.exists(
+        os.path.join(media_path, "_SUCCESS")
+    ):
+        return out_dir
+
+    docs_src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs_src.createOrReplaceTempView("__documents_src")
+    docs = spark.sql(docs_spark_sql("__documents_src"))
+    docs.write.mode("overwrite").partitionBy("part").parquet(docs_path)
+
+    refs = (
+        spark.read.parquet(docs_path)
+        .select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [render_media_ref(m) for m in pdf["media_ref"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "image": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "latex_true": [r[3] for r in rows],
+                }
+            )
+
+    media = refs.mapInPandas(render, schema=MEDIA_SCHEMA)
+    media.write.mode("overwrite").parquet(media_path)
+    return out_dir
+
+
+def read_docs(spark: SparkSession, out_dir: str, parts: list[int] | None = None) -> DataFrame:
+    """Docs scan with explicit partition pruning (north rule). ``parts=None``
+    reads all partitions; the filter is a directory-level prune, check
+    ``.explain`` → PartitionFilters."""
+    df = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(out_dir, "docs"))
+    if parts is not None:
+        df = df.filter(F.col("part").isin(parts))
+    return df
+
+
+def read_media(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(MEDIA_SCHEMA).parquet(os.path.join(out_dir, "media"))
