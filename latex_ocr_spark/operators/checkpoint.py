@@ -1,0 +1,154 @@
+"""Per-partition checkpoint/lineage + resumable restarts.
+
+The reference's resumability precedents: incremental rebuild skips formulas
+whose PNG already exists (F4, /root/reference/model/utils/image.py:238-245 —
+semantically a left anti join) and epoch-resume parses the checkpoint filename
+(model/base.py:33-48). At 10^12-document scale that becomes: process the docs
+table one identity-partition at a time, write each partition's output
+idempotently (overwrite its own directory), append a lineage row with metrics
+(A8 analog), and on restart anti-join the partition list against the
+checkpoint table so completed partitions are never re-decoded (north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ModelConfig, PipelineConfig
+from ..pipeline import broadcast_weights, extract_spans
+from ..operators.reassemble import reassemble
+from ..sources import read_docs
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_images", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("wall_s", T.DoubleType(), False),
+        T.StructField("run_id", T.StringType(), False),
+    ]
+)
+
+
+def _ckpt_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_checkpoint")
+
+
+def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
+    path = _ckpt_path(out_dir)
+    if not os.path.exists(path):
+        return set()
+    rows = (
+        spark.read.schema(CHECKPOINT_SCHEMA)
+        .json(path)
+        .filter(F.col("status") == "done")
+        .select("part")
+        .distinct()
+        .collect()
+    )
+    return {r.part for r in rows}
+
+
+def _append_checkpoint(out_dir: str, row: dict) -> None:
+    """Append one lineage record. JSON-lines dir keeps appends atomic per
+    partition (one file per record) without table-format dependencies; an
+    Iceberg deployment would MERGE into a checkpoint table instead."""
+    path = _ckpt_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"part-{row['part']}-{row['run_id']}.json")
+    with open(fname, "w") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+    fail_after: int | None = None,
+    parts: list[int] | None = None,
+) -> list[int]:
+    """Run extraction partition-by-partition, resumably.
+
+    Each identity partition is one pruned, idempotent job: output lands in
+    ``out_dir/docs/part=<k>/`` via dynamic partition overwrite, then the
+    lineage row is appended (output-then-mark ordering → a crash re-runs at
+    most the in-flight partition; the overwrite makes the retry idempotent).
+
+    ``fail_after=k`` injects a failure after k partitions (for the resume test,
+    FIXTURES.md §6). Returns the list of partitions processed in this run.
+    """
+    cfg = cfg or ModelConfig.small()
+    pipe = pipe or PipelineConfig()
+    run_id = uuid.uuid4().hex[:8]
+    weights_bc = broadcast_weights(spark, cfg)
+
+    all_parts = sorted(
+        r.part
+        for r in read_docs(spark, corpus_dir, parts=parts)
+        .select("part")
+        .distinct()
+        .collect()
+    )
+    done = completed_parts(spark, out_dir)
+    todo = [p for p in all_parts if p not in done]
+
+    out_docs = os.path.join(out_dir, "docs")
+    processed: list[int] = []
+    prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for i, part in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"injected failure before partition {part}")
+            t0 = time.time()
+            flat = extract_spans(
+                spark, corpus_dir, cfg=cfg, pipe=pipe, parts=[part], weights_bc=weights_bc
+            )
+            result = reassemble(flat)
+            result.write.mode("overwrite").partitionBy("part").parquet(out_docs)
+            stats = (
+                spark.read.parquet(out_docs)
+                .filter(F.col("part") == part)
+                .select(F.explode("spans").alias("s"), F.lit(1).alias("one"))
+                .agg(
+                    F.count_distinct(F.col("one")).alias("_"),
+                    F.count(F.when(F.col("s.kind") == "media", 1)).alias("n_images"),
+                    F.sum(
+                        F.when(
+                            F.col("s.kind") == "media",
+                            F.size(F.split(F.col("s.text"), " ")),
+                        ).otherwise(0)
+                    ).alias("n_tokens"),
+                )
+                .collect()[0]
+            )
+            n_docs = (
+                spark.read.parquet(out_docs).filter(F.col("part") == part).count()
+            )
+            _append_checkpoint(
+                out_dir,
+                {
+                    "part": int(part),
+                    "status": "done",
+                    "n_docs": int(n_docs),
+                    "n_images": int(stats["n_images"] or 0),
+                    "n_tokens": int(stats["n_tokens"] or 0),
+                    "wall_s": round(time.time() - t0, 3),
+                    "run_id": run_id,
+                },
+            )
+            processed.append(part)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite)
+    return processed

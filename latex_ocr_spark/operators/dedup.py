@@ -1,0 +1,228 @@
+"""Deduplication operators over the documents table.
+
+Large-scale training-data dedup suite: exact (hash groupBy), word-shingle
+Jaccard (distributed shingle self-join), MinHash+LSH (signature → bands →
+bucket join → exact verify), SimHash (64-bit, hamming buckets). The testdata
+corpus has no natural duplicates, so the pair-producing operators run over
+``corpus_with_dups`` — the documents table unioned with deterministically
+mutated copies (SQL-expressible, so the DuckDB oracle plants the exact same
+duplicates).
+
+Scale notes (100 TB): every operator here is shuffle-on-key only — no
+cross join anywhere; LSH candidate generation is the standard band-bucket
+equi-join; exact verification joins only candidate pairs. Skewed shingles
+(stopword-only) are capped by frequency before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Planted near-duplicates: for doc_id % 10 == 0, add a copy with doc_id+1e6
+# whose text drops the first 5 words; for doc_id % 15 == 0, add an exact copy
+# with doc_id+2e6. Mirrored verbatim in the DuckDB oracle CTE.
+CORPUS_WITH_DUPS_SQL_SPARK = """
+SELECT doc_id, text FROM {src}
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       concat_ws(' ', slice(split(text, ' '), 6, size(split(text, ' ')))) AS text
+FROM {src} WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM {src} WHERE doc_id % 15 = 0
+"""
+
+CORPUS_WITH_DUPS_CTE_DUCKDB = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[6:], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0
+)
+"""
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "__docs_dedup_src"
+    )
+    return spark.sql(CORPUS_WITH_DUPS_SQL_SPARK.format(src="__docs_dedup_src"))
+
+
+def exact_dedup_groups(corpus: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: md5 (stable across engines) groupBy;
+    emits groups with >1 member and the keeper (min doc_id)."""
+    return (
+        corpus.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def shingles(corpus: DataFrame, n: int = 3, max_freq: int | None = None) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    ``max_freq`` drops shingles appearing in more than that many docs before
+    any self-join — the skew cap that keeps the join tractable at scale.
+    """
+    words = F.split(F.col("text"), " ")
+
+    def _shingle(i):
+        parts = []
+        for k in range(n):
+            if k:
+                parts.append(F.lit("|"))
+            parts.append(F.element_at(words, i + k))
+        return F.concat(*parts)  # concat (not concat_ws): NULL word → NULL shingle
+
+    sh = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+                    _shingle,
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    if max_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_freq), "shingle").select(
+            "doc_id", "shingle"
+        )
+    return sh
+
+
+def jaccard_pairs(
+    corpus: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold via shingle self-join —
+    inter/(|A|+|B|-inter). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = shingles(corpus, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    signature: 128 permutation-free min-hashes h_i(s) = (a_i*x + b_i) mod p
+    over xxhash64 shingle keys; banding (64 bands × 2 rows) buckets candidate
+    pairs with an equi-join (never a cross join); candidates are then verified
+    with exact Jaccard so output = true pairs ≥ threshold (LSH only prunes).
+    At 64×2 banding, P(miss) for s ≥ 0.6 is ≤ (1-0.36)^64 ≈ 4e-13.
+    """
+    rows_per_band = num_hashes // bands
+    p = 2305843009213693951  # 2^61 - 1
+    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % p for i in range(num_hashes)]
+    rng_b = [(i + 1) * 0xC2B2AE3D27D4EB4F % p for i in range(num_hashes)]
+
+    sh = shingles(corpus, n=n)
+    keyed = sh.select(
+        "doc_id", F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"), F.lit(p)).alias("x")
+    )
+    minhash_cols = [
+        F.min((F.lit(rng_a[i]) * F.col("x") + F.lit(rng_b[i])) % p).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = keyed.groupBy("doc_id").agg(*minhash_cols)
+    band_rows = []
+    for bnd in range(bands):
+        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(corpus, n=n, threshold=threshold)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash_64(corpus: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from word xxhash64 bits — (doc_id, simhash).
+
+    Weighted bit-vote: for each of 64 bit positions, +1 if the word hash has
+    the bit set else -1; simhash bit = sign. All built-in expressions
+    (shiftright/bitwise AND), no UDF.
+    """
+    words = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = words.select("doc_id", F.xxhash64("w").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+                for b in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    return sim

@@ -1,0 +1,60 @@
+"""Resume test (FIXTURES.md §6): kill after k partitions, restart, verify the
+final table is identical to a clean run and completed partitions are not
+re-decoded (run_id proves which run produced each lineage row)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.config import ModelConfig
+from latex_ocr_spark.operators.checkpoint import completed_parts, run_with_checkpoint
+
+PARTS = [0, 1, 2, 3, 4, 5]
+
+
+def _load_ckpt(out_dir):
+    path = os.path.join(out_dir, "_checkpoint")
+    rows = []
+    for f in os.listdir(path):
+        with open(os.path.join(path, f)) as fh:
+            rows.append(json.loads(fh.read()))
+    return rows
+
+
+def test_resume_after_injected_failure(spark, corpus, tmp_path_factory):
+    cfg = ModelConfig.small()
+    out_fail = str(tmp_path_factory.mktemp("out_resume"))
+    out_clean = str(tmp_path_factory.mktemp("out_clean"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoint(spark, corpus, out_fail, cfg=cfg, fail_after=2, parts=PARTS)
+    done_first = completed_parts(spark, out_fail)
+    assert len(done_first) == 2
+
+    processed = run_with_checkpoint(spark, corpus, out_fail, cfg=cfg, parts=PARTS)
+    assert set(processed).isdisjoint(done_first), "re-decoded a completed partition"
+    assert completed_parts(spark, out_fail) == set(done_first) | set(processed)
+
+    # lineage rows for the first 3 partitions still carry the first run's id
+    rows = _load_ckpt(out_fail)
+    run_ids = {r["part"]: r["run_id"] for r in rows}
+    first_run_ids = {run_ids[p] for p in done_first}
+    second_run_ids = {run_ids[p] for p in processed}
+    assert first_run_ids.isdisjoint(second_run_ids)
+    for r in rows:
+        assert r["status"] == "done"
+        assert r["n_docs"] > 0
+
+    run_with_checkpoint(spark, corpus, out_clean, cfg=cfg, parts=PARTS)
+
+    a = spark.read.parquet(os.path.join(out_fail, "docs"))
+    b = spark.read.parquet(os.path.join(out_clean, "docs"))
+    flat = lambda df: df.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref", "s.offset")
+    assert flat(a).exceptAll(flat(b)).count() == 0
+    assert flat(b).exceptAll(flat(a)).count() == 0
