@@ -16,6 +16,8 @@ equi-join; exact verification joins only candidate pairs. Skewed shingles
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,40 +145,43 @@ def minhash_lsh_pairs(
     """MinHash + LSH near-dup pairs, exact-verified.
 
     signature: 128 permutation-free min-hashes h_i(s) = (a_i*x + b_i) mod p
-    over xxhash64 shingle keys; banding (64 bands × 2 rows) buckets candidate
-    pairs with an equi-join (never a cross join); candidates are then verified
-    with exact Jaccard so output = true pairs ≥ threshold (LSH only prunes).
+    (p = 2^31-1; a_i*x fits a 64-bit long, so the whole signature stays in
+    JVM long arithmetic inside whole-stage codegen) over xxhash64 shingle
+    keys; banding (64 bands × 2 rows) buckets candidate pairs with an
+    equi-join (never a cross join); candidates are then verified with exact
+    Jaccard so output = true pairs ≥ threshold (LSH only prunes).
     At 64×2 banding, P(miss) for s ≥ 0.6 is ≤ (1-0.36)^64 ≈ 4e-13.
     """
     rows_per_band = num_hashes // bands
-    p = 2305843009213693951  # 2^61 - 1
-    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % p for i in range(num_hashes)]
-    rng_b = [(i + 1) * 0xC2B2AE3D27D4EB4F % p for i in range(num_hashes)]
+    p = 2147483647  # 2^31 - 1
+    rng = np.random.default_rng(0x31A5_2026)
+    rng_a = (1 + rng.integers(0, p - 1, num_hashes)).tolist()
+    rng_b = rng.integers(0, p, num_hashes).tolist()
 
     sh = shingles(corpus, n=n)
     keyed = sh.select(
-        "doc_id", F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"), F.lit(p)).alias("x")
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).cast("long").alias("x")
     )
     minhash_cols = [
-        F.min((F.lit(rng_a[i]) * F.col("x") + F.lit(rng_b[i])) % p).alias(f"h{i}")
+        F.min(
+            F.pmod(F.lit(int(rng_a[i])) * F.col("x") + F.lit(int(rng_b[i])), F.lit(p))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sigs = keyed.groupBy("doc_id").agg(*minhash_cols)
-    band_rows = []
+    # one projection + explode (NOT a 64-way union — keeps the plan linear)
+    band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(bnd).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "bucket"
-                ),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
