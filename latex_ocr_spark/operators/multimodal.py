@@ -60,7 +60,7 @@ def image_features(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = "media_ref string, sample_rate int, n_samples long, rms double"
-VIDEO_FRAMES_SCHEMA = "media_ref string, frame_idx int, ts_ms long, frame png binary"
+VIDEO_FRAMES_SCHEMA = "media_ref string, frame_idx int, ts_ms long, frame_png binary"
 
 
 def _decode_audio_stub(data: bytes) -> np.ndarray:

@@ -105,8 +105,8 @@ def lsh_cosine_topk(
     k: int = 5,
     n_queries: int = 50,
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 12,
 ) -> DataFrame:
     """SRP-LSH candidate generation + exact re-rank (approximate top-k)."""
     base = embeddings.select("vec_id", "embedding")

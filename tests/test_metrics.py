@@ -1,0 +1,59 @@
+"""Metric aggregations vs the reference formulas on tiny hand-made cases
+(/root/reference/model/evaluation/text.py:41-92, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from latex_ocr_spark.eval.metrics import (
+    bleu4,
+    edit_distance_score,
+    exact_match_rate,
+    token_edit_distance_score,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return spark.createDataFrame(
+        [
+            ("a b c", "a b c"),      # exact
+            ("a b c d", "a b x d"),  # 1 substitution of 4 tokens
+            ("x y", "x y z"),        # 1 insertion
+        ],
+        ["ref", "hyp"],
+    )
+
+
+def test_exact_match(spark, pairs):
+    assert exact_match_rate(pairs).collect()[0].exact_match == round(1 / 3, 4)
+
+
+def test_char_edit_distance(spark, pairs):
+    # char-level: lev("a b c","a b c")=0; lev("a b c d","a b x d")=1;
+    # lev("x y","x y z")=2 (adds " z"); denominators 5,7,5
+    expect = round(1 - (0 + 1 + 2) / (5 + 7 + 5), 4)
+    assert edit_distance_score(pairs).collect()[0].edit_distance_score == expect
+
+
+def test_token_edit_distance_matches_reference_formula(spark, pairs):
+    # token-level: 0/3, 1/4, 1/3 → 1 - (0+1+1)/(3+4+3)
+    expect = round(1 - 2 / 10, 4)
+    got = token_edit_distance_score(pairs).collect()[0].token_edit_distance_score
+    assert got == expect
+
+
+def test_bleu4_perfect_and_degraded(spark):
+    perfect = spark.createDataFrame(
+        [("a b c d e", "a b c d e")] * 3, ["ref", "hyp"]
+    )
+    assert bleu4(perfect).collect()[0].bleu4 == 1.0
+    # corpus-level clipped precision hand-check
+    p = spark.createDataFrame(
+        [("a b c d e", "a b c d x")], ["ref", "hyp"]
+    )
+    # unigrams 4/5, bigrams 3/4, trigrams 2/3, 4grams 1/2; bp=1 (equal len)
+    expect = round(math.exp(sum(math.log(x) for x in (4 / 5, 3 / 4, 2 / 3, 1 / 2)) / 4), 4)
+    assert bleu4(p).collect()[0].bleu4 == expect

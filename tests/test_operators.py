@@ -1,0 +1,142 @@
+"""Unit tests for dedup / similarity / text-analysis operators (Spark-side
+semantics; the Spark-vs-DuckDB equivalence is exercised by
+tools/check_oracles.py and the driver's correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.operators import dedup as D
+from latex_ocr_spark.operators import similarity as S
+from latex_ocr_spark.operators import text_analysis as TA
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    return D.corpus_with_dups(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, dup_corpus):
+    groups = D.exact_dedup_groups(dup_corpus).collect()
+    n_planted = dup_corpus.filter(F.col("doc_id") >= 2000000).count()
+    assert len(groups) == n_planted
+    for g in groups:
+        assert g.n_members == 2
+        assert g.keeper_doc_id < 2000000
+
+
+def test_jaccard_pairs_rank_planted_near_dups_first(spark, dup_corpus):
+    pairs = D.jaccard_pairs(dup_corpus, n=3, threshold=0.5).collect()
+    assert pairs, "expected planted near-dup pairs above threshold"
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert 0.5 <= p.jaccard <= 1.0
+    # recall: every planted exact copy (identical text → jaccard 1.0) and the
+    # 5-word-drop near-copies of long docs must be found. (The corpus also
+    # contains NATURAL near-dups — e.g. sf0.001 docs 0 and 50 — which is fine.)
+    base = dup_corpus.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+    ).collect()
+    long_ids = [r.doc_id for r in base if len(r.text.split(" ")) >= 40]
+    assert long_ids
+    for d in long_ids:
+        assert (d, d + 1000000) in found, f"missed planted near-dup of doc {d}"
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, dup_corpus):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(dup_corpus, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(dup_corpus, n=3, threshold=0.5).collect()
+    }
+    assert lsh == exact  # verify step removes FPs; banding recall = 1.0 here
+
+
+def test_simhash_identical_for_exact_dups_and_close_for_near_dups(spark, dup_corpus):
+    sim = {r.doc_id: r.simhash for r in D.simhash_64(dup_corpus).collect()}
+    base_ids = [d for d in sim if d < 1000000 and (d + 2000000) in sim]
+    assert base_ids
+    for d in base_ids[:20]:
+        assert sim[d] == sim[d + 2000000], "exact copy must share simhash"
+    near_ids = [d for d in sim if d < 1000000 and (d + 1000000) in sim]
+    hammings = [
+        bin((sim[d] ^ sim[d + 1000000]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        for d in near_ids
+    ]
+    assert sum(hammings) / len(hammings) < 24, "near-dups should be hamming-close"
+
+
+def test_cosine_topk_exact_properties(spark, embeddings):
+    top = S.cosine_topk(embeddings, k=5, n_queries=10).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+        assert len(rows) == 5
+
+
+def test_lsh_topk_recall_against_exact(spark, embeddings):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embeddings, k=5, n_queries=20).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_cosine_topk(embeddings, k=5, n_queries=20).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"SRP-LSH recall too low: {recall}"
+
+
+def test_token_count_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, "a b")], ["doc_id", "text"]
+    )
+    tc = {r.doc_id: r for r in TA.token_count(docs).collect()}
+    assert tc[1].n_words == 6
+    assert tc[2].n_words == 2 and tc[2].n_subwords == 2
+    q = {r.doc_id: r for r in TA.quality_score(docs).collect()}
+    assert q[1].punct_ratio > 0
+    assert q[2].quality_keep == 0  # too short
+    # 'the' appears twice among 6 whitespace tokens ('mat.' carries the dot)
+    assert abs(q[1].stopword_ratio - round(2 / 6, 4)) < 1e-9
+
+
+def test_language_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "der hund und die katze und das haus"),
+            (2, "the cat and the dog of the house"),
+            (3, "xyz qqq zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in TA.language_id(docs).collect()}
+    assert out[1] == "de"
+    assert out[2] == "en"
+    assert out[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
+    )
+    fp = {r.doc_id: r.fp_md5 for r in TA.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
