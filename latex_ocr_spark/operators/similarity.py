@@ -110,14 +110,20 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """SRP-LSH candidate generation + exact re-rank (approximate top-k)."""
     base = embeddings.select("vec_id", "embedding")
-    sigs = None
-    for t in range(n_tables):
-        s = base.select(
-            "vec_id",
+    # all tables' signatures in ONE projection + explode (linear plan, one
+    # scan), persisted because both join sides read it
+    table_structs = [
+        F.struct(
             F.lit(t).alias("table"),
             srp_signature(base, "embedding", dim, n_planes, t).alias("sig"),
         )
-        sigs = s if sigs is None else sigs.unionByName(s)
+        for t in range(n_tables)
+    ]
+    sigs = (
+        base.select("vec_id", F.explode(F.array(*table_structs)).alias("ts"))
+        .select("vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+        .persist()
+    )
     q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table", "sig"
     )
