@@ -1,0 +1,56 @@
+"""Sink parity tests (K1/K2/K3 + predict.py single-image path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.config import ModelConfig
+from latex_ocr_spark.fixtures.glyphs import render_formula
+from latex_ocr_spark.fixtures.png import encode_png
+from latex_ocr_spark.fixtures.vocab import SPECIALS
+from latex_ocr_spark.kernels.oracle import Model, oracle_decode_images
+from latex_ocr_spark.sinks import (
+    load_vocab,
+    predict_single,
+    write_answers,
+    write_matching,
+    write_vocab,
+)
+
+
+def test_vocab_sink_roundtrip(spark, tmp_path):
+    vocab = spark.createDataFrame([("b",), ("a",), ("c",)], ["token"])
+    path = str(tmp_path / "vocab")
+    write_vocab(vocab, path)
+    tok_to_id = load_vocab(spark, path, SPECIALS)
+    assert tok_to_id["a"] == 0 and tok_to_id["b"] == 1 and tok_to_id["c"] == 2
+    assert tok_to_id["_END"] == 5  # specials appended last, reference order
+
+
+def test_matching_sink_success_filter(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("img-1", 10, True), ("img-2", 11, False)], ["media_ref", "formula_id", "ok"]
+    )
+    path = str(tmp_path / "matching")
+    write_matching(df, path)
+    lines = [r.value for r in spark.read.text(path).collect()]
+    assert lines == ["img-1 10"]
+
+
+def test_answers_sink_keyed(spark, tmp_path):
+    pairs = spark.createDataFrame(
+        [("d1", 1, "a b", "a b"), ("d1", 3, "c", "x")],
+        ["doc_id", "offset", "ref", "hyp"],
+    )
+    write_answers(pairs, str(tmp_path / "ans"))
+    refs = {r.value for r in spark.read.text(str(tmp_path / "ans" / "ref")).collect()}
+    hyps = {r.value for r in spark.read.text(str(tmp_path / "ans" / "hyp_0")).collect()}
+    assert "d1\t3\tc" in refs and "d1\t3\tx" in hyps
+
+
+def test_predict_single_matches_oracle():
+    img = render_formula(r"\alpha + 1", scale=2)
+    cfg = ModelConfig.small()
+    assert predict_single(encode_png(img), cfg) == oracle_decode_images(
+        [img], Model(cfg)
+    )[0]
