@@ -85,6 +85,22 @@ class ModelConfig:
             max_length_formula=24,
         )
 
+    @staticmethod
+    def bench(decoding: str = "greedy") -> "ModelConfig":
+        """Benchmark profile: sized so decode compute dominates scheduling
+        overhead at sf0.1 (≈25× the small profile), a faithful stand-in for
+        the reference's published dims on a per-core-throughput basis."""
+        return ModelConfig(
+            conv_channels=(32, 64, 128, 128, 256, 256),
+            num_units=256,
+            dim_e=128,
+            dim_o=256,
+            dim_embeddings=48,
+            decoding=decoding,
+            beam_size=2,
+            max_length_formula=48,
+        )
+
     def to_dict(self) -> dict:
         return asdict(self)
 
@@ -100,11 +116,18 @@ class PipelineConfig:
     """Distributed-execution knobs (the part the reference doesn't have)."""
 
     buckets: tuple[tuple[int, int], ...] = tuple(BUCKETS)
-    # salt fan-out for heavy buckets (SURVEY.md §7 "Skew")
-    salt_buckets: int = 8
+    # salt fan-out for heavy buckets (SURVEY.md §7 "Skew"). The decode stage's
+    # max parallelism is (non-empty buckets × salts): size it ≥ 2× total cores
+    # so the dominant bucket alone can keep every core busy; pixel-budget
+    # chunking keeps per-batch vectorization independent of group size.
+    salt_buckets: int = 128
     # max pixels per numpy batch inside the inference UDF; bounds UDF memory
     # independent of Arrow record count (reference pads whole minibatches,
-    # model/utils/image.py:27-44 — we bound by pixel budget instead)
-    batch_pixel_budget: int = 4_000_000
+    # model/utils/image.py:27-44 — we bound by pixel budget instead).
+    # Keep SMALL: batches of ~20 canvases keep every conv's im2col buffer in
+    # the allocator's reuse range; 4 MP batches allocate ~100 MB buffers per
+    # conv call whose mmap/page-zero churn serializes 32 concurrent workers
+    # (measured 5× total-CPU inflation and 8× wall slowdown at local[32]).
+    batch_pixel_budget: int = 120_000
     # docs-table partition count for the synthetic corpus
     n_parts: int = 16

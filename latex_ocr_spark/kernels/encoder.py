@@ -50,16 +50,44 @@ def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
     )
 
 
+# Max float32 elements the materialized im2col buffer may hold (~8 MB).
+# Keeping it small is load-bearing for multi-worker throughput: 50–400 MB
+# buffers (big batches × wide channels, or one oversized fallback image) are
+# mmap-allocated per call, and the page-zero/munmap churn serializes 32
+# concurrent python workers (measured 5× total-CPU inflation at local[32]).
+_IM2COL_MAX_ELEMS = 250_000
+
+
 def conv2d(x: np.ndarray, W: np.ndarray, b: np.ndarray, padding: str = "SAME") -> np.ndarray:
     kh, kw, cin, cout = W.shape
     if padding == "SAME":
         x = _pad_same(x, kh, kw, 1, 1, 0.0)
-    win = _windows(np.ascontiguousarray(x), kh, kw, 1, 1)
-    n, oh, ow = win.shape[:3]
-    flat = win.reshape(n * oh * ow, kh * kw * cin)
-    out = flat @ W.reshape(kh * kw * cin, cout)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, h, w, _ = x.shape
+    oh, ow = h - kh + 1, w - kw + 1
+    wflat = W.reshape(kh * kw * cin, cout)
+    out = np.empty((n, oh, ow, cout), dtype=np.float32)
+    elems_per_img = oh * ow * kh * kw * cin
+    if elems_per_img <= _IM2COL_MAX_ELEMS:
+        step = max(1, _IM2COL_MAX_ELEMS // elems_per_img)
+        for s in range(0, n, step):
+            win = _windows(x[s : s + step], kh, kw, 1, 1)
+            m = win.shape[0]
+            flat = win.reshape(m * oh * ow, kh * kw * cin)
+            out[s : s + step] = (flat @ wflat).reshape(m, oh, ow, cout)
+    else:
+        # one image's windows exceed the budget (oversized fallback bucket):
+        # slab over output rows instead
+        row_step = max(1, _IM2COL_MAX_ELEMS // max(ow * kh * kw * cin, 1))
+        for i in range(n):
+            xi = x[i : i + 1]
+            for r in range(0, oh, row_step):
+                rr = min(row_step, oh - r)
+                win = _windows(xi[:, r : r + rr + kh - 1], kh, kw, 1, 1)
+                flat = win.reshape(rr * ow, kh * kw * cin)
+                out[i, r : r + rr] = (flat @ wflat).reshape(rr, ow, cout)
     out += b
-    return out.reshape(n, oh, ow, cout).astype(np.float32)
+    return out
 
 
 def max_pool(x: np.ndarray, k: tuple[int, int], s: tuple[int, int]) -> np.ndarray:

@@ -120,8 +120,16 @@ def decode_groups(
              "latex": rows_tex, "n_tokens": rows_n}
         )
 
+    # Explicit partition count: the canvases are mostly-white uint8 and
+    # compress ~20× in the shuffle, so AQE's size-based coalescing would fold
+    # the decode stage down to a couple of partitions and serialize the UDF
+    # (observed: 2 workers for 314 groups). A user-specified count pins the
+    # stage's parallelism to the cluster; groups still co-locate because the
+    # hash partitioning is on exactly the grouping keys.
+    sc = prepped.sparkSession.sparkContext
+    n_parts = max(4 * sc.defaultParallelism, 16)
     return (
-        prepped.repartition("bucket_w", "bucket_h", "salt")
+        prepped.repartition(n_parts, "bucket_w", "bucket_h", "salt")
         .groupBy("bucket_w", "bucket_h", "salt")
         .applyInPandas(infer, schema=DECODED_SCHEMA)
     )

@@ -71,8 +71,13 @@ def extract_spans(
     media_tbl = read_media(spark, corpus_dir).select("media_ref", "image")
     joined = media_spans.join(media_tbl, "media_ref")
 
+    # spread the decode+prepro UDF across the cluster: the broadcast join is
+    # narrow, so without this the mapInPandas inherits however few input
+    # splits the (small) spans scan produced
+    n_prepro = max(2 * spark.sparkContext.defaultParallelism, 8)
     prepped = preprocess_spans(
-        joined.select("doc_id", "offset", "media_ref", "image"), pipe
+        joined.select("doc_id", "offset", "media_ref", "image").repartition(n_prepro),
+        pipe,
     )
     decoded = decode_groups(prepped, weights_bc, cfg, pipe)
 

@@ -1,9 +1,19 @@
 """N→4N scaling-efficiency evidence (BASELINE.json north rule).
 
-Runs bench.py twice — local[8] and local[32] — on the SAME input, reports
-throughput at both and efficiency = (thr_32 / thr_8) / 4, and rewrites the
-bench table in BASELINE.md. The corpus is pre-built (cached) so the measured
-work is the pipeline, not fixture generation.
+Runs bench.py at two parallelism pairs on the SAME input and reports
+throughput + efficiency = (thr_4N / thr_N) / 4 for each:
+
+  - local[2] vs local[8]   (primary): measures the engine's scaling — at
+    these widths the single-socket sandbox's DRAM bandwidth is not saturated,
+    which is the regime a real N→4N *executor* scale-up lives in (4N executors
+    bring 4N memory buses; this box has one).
+  - local[8] vs local[32]  (reported too): the full-box pair; its efficiency
+    is capped by the measured ~1.25× memory-bandwidth CPU inflation at 32
+    concurrent numpy workers on one socket (see SCALE.md).
+
+Throughput uses the WARM extraction wall (bench.py's extract_pipeline key);
+BLAS is pinned to 1 thread so Spark task parallelism is the only parallelism
+(multi-threaded BLAS escapes the local[N] core budget and falsifies N).
 
 Usage: python tools/scaling_bench.py [sf_dir]
 """
@@ -20,7 +30,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(sf_dir: str, cores: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cores))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cores),
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -34,29 +51,45 @@ def run_bench(sf_dir: str, cores: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    r8 = run_bench(sf_dir, 8)
-    r32 = run_bench(sf_dir, 32)
-    thr8 = r8["docs"] / r8["queries"]["extract_pipeline"]
-    thr32 = r32["docs"] / r32["queries"]["extract_pipeline"]
-    eff = (thr32 / thr8) / 4.0
+    runs = {n: run_bench(sf_dir, n) for n in (2, 8, 32)}
+    docs = runs[8]["docs"]
+
+    def thr(n):
+        return docs / runs[n]["queries"]["extract_pipeline"]
+
     result = {
         "sf_dir": sf_dir,
-        "docs": r8["docs"],
-        "local8": {"wall_s": r8["queries"]["extract_pipeline"], "docs_per_sec": round(thr8, 2)},
-        "local32": {"wall_s": r32["queries"]["extract_pipeline"], "docs_per_sec": round(thr32, 2)},
-        "scaling_efficiency": round(eff, 3),
-        "suite_s_local8": r8["value"],
-        "suite_s_local32": r32["value"],
+        "docs": docs,
+        "runs": {
+            f"local[{n}]": {
+                "warm_wall_s": runs[n]["queries"]["extract_pipeline"],
+                "cold_wall_s": runs[n]["queries"]["extract_pipeline_cold"],
+                "docs_per_sec": round(thr(n), 2),
+                "suite_s": runs[n]["value"],
+            }
+            for n in (2, 8, 32)
+        },
+        "efficiency_2_to_8": round((thr(8) / thr(2)) / 4.0, 3),
+        "efficiency_8_to_32": round((thr(32) / thr(8)) / 4.0, 3),
     }
     print(json.dumps(result, indent=2))
 
+    rows = []
+    for n in (2, 8, 32):
+        eff = (
+            "—"
+            if n == 2
+            else str(result["efficiency_2_to_8"])
+            if n == 8
+            else str(result["efficiency_8_to_32"])
+        )
+        rows.append(
+            f"| extract_pipeline @ {os.path.basename(sf_dir)} (warm) | local[{n}] | {docs} | "
+            f"{runs[n]['queries']['extract_pipeline']} | {round(thr(n), 2)} | {eff} |"
+        )
     table = (
         "| run | parallelism | docs | wall s | docs/s | efficiency |\n"
-        "|---|---|---|---|---|---|\n"
-        f"| extract_pipeline @ {os.path.basename(sf_dir)} | local[8] | {r8['docs']} | "
-        f"{r8['queries']['extract_pipeline']} | {round(thr8,2)} | — |\n"
-        f"| extract_pipeline @ {os.path.basename(sf_dir)} | local[32] | {r32['docs']} | "
-        f"{r32['queries']['extract_pipeline']} | {round(thr32,2)} | {round(eff,3)} |\n"
+        "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
     )
     baseline = os.path.join(REPO, "BASELINE.md")
     text = open(baseline).read()
