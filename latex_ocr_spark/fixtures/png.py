@@ -86,8 +86,12 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * channels
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = rows[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
+    if not filters.any():
+        # all filter-0 scanlines (what encode_png emits): one vectorized slice
+        arr = rows[:, 1:].reshape(h, w, channels)
+        return arr[:, :, 0] if channels == 1 else arr.copy()
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = filters[y]
         cur = rows[y, 1:].astype(np.uint8).copy()
