@@ -384,6 +384,23 @@ def _q_media_image_features(spark, sf_dir):
     return image_features(read_media(spark, corpus))
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """Streaming operator (batch-equivalent check): watermarked 5-minute
+    tumbling window counts over events — latex_ocr_spark/streaming.py."""
+    from latex_ocr_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_event_counts(ev)
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based session windows per user (session_window, gap 30 min)."""
+    from latex_ocr_spark.streaming import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query at sf0.001: full interleaved extraction, exploded to a
     stable flat schema (doc_id, part, kind, text, media_ref, offset)."""
@@ -419,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media_decoded": _q_extract_media_decoded,
         "bucket_histogram": _q_bucket_histogram,
         "media_image_features": _q_media_image_features,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -601,6 +620,36 @@ FROM documents
         "extract_text_passthrough": _CTE
         + """
 SELECT doc_id, part, text, "offset" FROM doc_spans WHERE kind = 'text'
+""",
+        "windowed_event_counts": """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS win_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "sessionize": """
+WITH gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gapped
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, sess_id
 """,
         # rows-only (non-SQL-expressible): simhash (xxhash64-based),
         # lsh_cosine_topk (approximate), extract_media_decoded (model decode),

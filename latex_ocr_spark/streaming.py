@@ -47,8 +47,8 @@ def windowed_event_counts(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
             "event_type",
             "n",
             "sum_value",
@@ -63,8 +63,8 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.col("sess.start").alias("sess_start"),
-            F.col("sess.end").alias("sess_end"),
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
             "user_id",
             "n_events",
             "sum_value",
