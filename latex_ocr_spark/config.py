@@ -60,6 +60,7 @@ class ModelConfig:
     dim_e: int = 256                      # attention intermediate
     dim_o: int = 512                      # output projection
     dim_embeddings: int = 80
+    cell_type: str = "lstm"               # "lstm" | "gru" (attn_cell_config.cell_type)
     decoding: str = "greedy"              # "greedy" | "beam_search"
     beam_size: int = 2
     div_gamma: float = 1.0

@@ -54,6 +54,24 @@ def lstm_step(
     return new_c.astype(np.float32), new_h.astype(np.float32)
 
 
+def gru_step(
+    x: np.ndarray,
+    h: np.ndarray,
+    gate_kernel: np.ndarray,
+    gate_bias: np.ndarray,
+    cand_kernel: np.ndarray,
+    cand_bias: np.ndarray,
+) -> np.ndarray:
+    """One GRUCell step (cell_type='gru' variant, attn_cell_config.cell_type;
+    the reference imports GRUCell at model/decoder.py:5 — note its
+    initial_cell_state would crash on GRU's non-namedtuple state, a latent
+    bug we fix by seeding h from the mean image directly)."""
+    g = _sigmoid(np.concatenate([x, h], axis=1) @ gate_kernel + gate_bias)
+    r, u = np.split(g, 2, axis=1)
+    c = np.tanh(np.concatenate([x, r * h], axis=1) @ cand_kernel + cand_bias)
+    return (u * h + (1.0 - u) * c).astype(np.float32)
+
+
 class AttentionDecoder:
     """Holds broadcast weights; per-batch state lives in method args (so one
     instance is reused across Arrow batches inside a Python worker)."""
@@ -95,7 +113,15 @@ class AttentionDecoder:
     ) -> tuple[np.ndarray, tuple[np.ndarray, np.ndarray, np.ndarray]]:
         c, h, o = state
         x = np.concatenate([embedding, o], axis=1)
-        new_c, new_h = lstm_step(x, c, h, self.w["lstm_kernel"], self.w["lstm_bias"])
+        if self.cfg.cell_type == "gru":
+            new_h = gru_step(
+                x, h,
+                self.w["gru_gate_kernel"], self.w["gru_gate_bias"],
+                self.w["gru_cand_kernel"], self.w["gru_cand_bias"],
+            )
+            new_c = c  # unused for GRU; kept so the state tuple shape is stable
+        else:
+            new_c, new_h = lstm_step(x, c, h, self.w["lstm_kernel"], self.w["lstm_bias"])
         ctx = self.context(img, att_img, new_h)
         new_o = np.tanh(new_h @ self.w["o_W_h"] + ctx @ self.w["o_W_c"]).astype(np.float32)
         logits = new_o @ self.w["y_W_o"]

@@ -58,10 +58,25 @@ def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
 _IM2COL_MAX_ELEMS = 250_000
 
 
-def conv2d(x: np.ndarray, W: np.ndarray, b: np.ndarray, padding: str = "SAME") -> np.ndarray:
+def conv2d(
+    x: np.ndarray,
+    W: np.ndarray,
+    b: np.ndarray,
+    padding: str = "SAME",
+    stride: tuple[int, int] = (1, 1),
+) -> np.ndarray:
     kh, kw, cin, cout = W.shape
+    sh, sw = stride
     if padding == "SAME":
-        x = _pad_same(x, kh, kw, 1, 1, 0.0)
+        x = _pad_same(x, kh, kw, sh, sw, 0.0)
+    if stride != (1, 1):
+        # strided path (the "cnn" encoder variant's (2,4)/2 conv,
+        # /root/reference/model/encoder.py:53-55): windows view + one matmul
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        win = _windows(x, kh, kw, sh, sw)
+        n, oh, ow = win.shape[:3]
+        flat = np.ascontiguousarray(win).reshape(n * oh * ow, kh * kw * cin)
+        return (flat @ W.reshape(-1, cout) + b).reshape(n, oh, ow, cout).astype(np.float32)
     x = np.ascontiguousarray(x, dtype=np.float32)
     n, h, w, _ = x.shape
     oh, ow = h - kh + 1, w - kw + 1
@@ -150,6 +165,10 @@ def encode(
     x = relu(conv2d(x, weights["conv4_W"], weights["conv4_b"], "SAME"))
     if cfg.encoder_cnn == "vanilla":
         x = max_pool(x, (1, 2), (1, 2))
+    if cfg.encoder_cnn == "cnn":
+        # strided conv replaces the two asymmetric pools, no activation
+        # (model/encoder.py:53-55)
+        x = conv2d(x, weights["conv_s_W"], weights["conv_s_b"], "SAME", stride=(2, 2))
     x = relu(conv2d(x, weights["conv5_W"], weights["conv5_b"], "VALID"))
     if cfg.positional_embeddings:
         x = add_timing_signal_nd(x)

@@ -61,4 +61,16 @@ def init_weights(cfg: ModelConfig, n_tok: int) -> dict[str, np.ndarray]:
     w["y_W_o"] = _glorot(rng, (cfg.dim_o, n_tok))
     w["embedding_table"] = _embedding(rng, (n_tok, cfg.dim_embeddings))
     w["start_token"] = _embedding(rng, (1, cfg.dim_embeddings))[0]
+    # variant weights drawn LAST so enabling a variant never perturbs the
+    # rng stream of the base weights (golden outputs stay fixed):
+    # "cnn" encoder variant — strided conv replacing the 2 asymmetric pools
+    # (/root/reference/model/encoder.py:53-55)
+    w["conv_s_W"] = _glorot(rng, (2, 4, n_channels, n_channels))
+    w["conv_s_b"] = np.zeros(n_channels, dtype=np.float32)
+    # GRU cell variant (attn_cell_config.cell_type, model/decoder.py:5);
+    # gate bias init 1.0 per tf GRUCell
+    w["gru_gate_kernel"] = _glorot(rng, (lstm_in + cfg.num_units, 2 * cfg.num_units))
+    w["gru_gate_bias"] = np.ones(2 * cfg.num_units, dtype=np.float32)
+    w["gru_cand_kernel"] = _glorot(rng, (lstm_in + cfg.num_units, cfg.num_units))
+    w["gru_cand_bias"] = np.zeros(cfg.num_units, dtype=np.float32)
     return w
