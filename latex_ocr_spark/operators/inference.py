@@ -128,8 +128,39 @@ def decode_groups(
     # hash partitioning is on exactly the grouping keys.
     sc = prepped.sparkSession.sparkContext
     n_parts = max(4 * sc.defaultParallelism, 16)
-    return (
-        prepped.repartition(n_parts, "bucket_w", "bucket_h", "salt")
+
+    # Oversized fallback images (no bucket fits, model/utils/image.py:115-123)
+    # are singleton groups with 10-20× the decode cost of a bucketed canvas;
+    # hash placement lets several collide on one partition and become THE
+    # stage straggler (observed 8.8 s max task vs 2.4 s p90). They gain
+    # nothing from same-shape grouping (each shape is unique), so they take a
+    # round-robin row-parallel path instead.
+    bucket_keys = [f"{int(w)}x{int(h)}" for w, h in pipe.buckets]
+    in_bucket = F.concat_ws(
+        "x", F.col("bucket_w").cast("string"), F.col("bucket_h").cast("string")
+    ).isin(bucket_keys)
+    normal = prepped.filter(in_bucket)
+    oversized = prepped.filter(~in_bucket)
+
+    decoded_normal = (
+        normal.repartition(n_parts, "bucket_w", "bucket_h", "salt")
         .groupBy("bucket_w", "bucket_h", "salt")
         .applyInPandas(infer, schema=DECODED_SCHEMA)
     )
+
+    def infer_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf):
+                yield infer(pdf)
+            else:
+                yield pd.DataFrame(
+                    {"doc_id": [], "offset": [], "media_ref": [], "latex": [],
+                     "n_tokens": []}
+                )
+
+    decoded_oversized = oversized.repartition(n_parts).mapInPandas(
+        infer_rows, schema=DECODED_SCHEMA
+    )
+    return decoded_normal.unionByName(decoded_oversized)
