@@ -384,6 +384,40 @@ def _q_media_image_features(spark, sf_dir):
     return image_features(read_media(spark, corpus))
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (events ↔ latest prior order per user) via the union+window
+    pattern — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import asof_join_events_orders
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return asof_join_events_orders(ev, orders)
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import rollup_revenue
+
+    return rollup_revenue(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+
+
+def _q_cube_order_stats(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import cube_order_stats
+
+    return cube_order_stats(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")))
+
+
+def _q_pivot_events(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import pivot_events
+
+    return pivot_events(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import tpch_q1
+
+    return tpch_q1(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -438,6 +472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_media_image_features,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "rollup_revenue": _q_rollup_revenue,
+        "cube_order_stats": _q_cube_order_stats,
+        "pivot_events": _q_pivot_events,
+        "tpch_q1": _q_tpch_q1,
     }
 
 
@@ -650,6 +689,58 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY user_id, sess_id
+""",
+        "asof_join": """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       o_orderkey,
+       CAST(round(o_totalprice, 4) AS DOUBLE) AS o_totalprice
+FROM ranked WHERE rn = 1
+""",
+        "rollup_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "cube_order_stats": """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "pivot_events": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+FROM events GROUP BY user_id
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
         # rows-only (non-SQL-expressible): simhash (xxhash64-based),
         # lsh_cosine_topk (approximate), extract_media_decoded (model decode),

@@ -1,0 +1,132 @@
+"""General relational operators beyond the reference's inventory — the OLAP
+surface a user of this engine expects alongside extraction (SURVEY.md notes
+the reference has no grouping sets / pivot / as-of joins; these are the
+Spark-native implementations, each with a DuckDB oracle in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the latest order of the same user/customer
+    with o_orderdate <= ts.
+
+    Spark has no native ASOF JOIN; the scalable pattern is union + window
+    (one shuffle on the key, no range explosion): tag both sides, sort by
+    time within the key, carry the last order forward with last(ignorenulls).
+    """
+    e = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey_in"),
+        F.lit(None).cast("double").alias("o_totalprice_in"),
+        F.lit(1).alias("is_event"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("o_orderkey_in"),
+        F.col("o_totalprice").alias("o_totalprice_in"),
+        F.lit(0).alias("is_event"),
+    )
+    u = e.unionByName(o)
+    # orders sort before events at the same timestamp (is_event ascending);
+    # equal-timestamp orders tie-break on orderkey so "last" is deterministic
+    w = Window.partitionBy("k").orderBy("t", "is_event", "o_orderkey_in").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = (
+        u.withColumn("o_orderkey", F.last("o_orderkey_in", ignorenulls=True).over(w))
+        .withColumn("o_totalprice", F.last("o_totalprice_in", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 4).cast("double").alias("o_totalprice"),
+    )
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).cast("double").alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "avg_price",
+        )
+    )
+
+
+def pivot_events(events: DataFrame) -> DataFrame:
+    """Pivot event_type into columns of per-user counts (explicit value list —
+    the scalable form: no distinct-scan to discover columns)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("bigint"))
+    return out
+
+
+def tpch_q1(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 pricing summary (the canonical groupBy-agg benchmark shape)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).cast("double").alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
