@@ -37,6 +37,61 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path_factory):
     assert len(got) > 0
 
 
+def test_stateful_running_totals(spark, tmp_path_factory):
+    """applyInPandasWithState: two micro-batches (two files discovered with
+    maxFilesPerTrigger=1) must accumulate state across batches."""
+    import shutil
+
+    from latex_ocr_spark.streaming import running_user_totals
+
+    d = tmp_path_factory.mktemp("events_state")
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    files = d / "stream"
+    files.mkdir()
+    shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
+    shutil.copy(next((d / "p2").glob("*.parquet")), files / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(files))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user must equal the batch ground truth
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.sql(
+            "SELECT user_id, n, total FROM running_totals"
+        ).collect()  # update mode appends; later rows overwrite earlier per user
+    }
+    truth = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in src.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    # keep only the final emission per user: memory sink holds all updates, so
+    # compare against the max-n emission
+    final = {}
+    for r in spark.sql("SELECT user_id, n, total FROM running_totals").collect():
+        if r.user_id not in final or r.n > final[r.user_id][0]:
+            final[r.user_id] = (r.n, r.total)
+    assert final == truth
+
+
 def test_sessionize_smoke(spark):
     path = f"{SF_DIR}/events.parquet"
     out = sessionize(spark.read.parquet(path)).collect()
