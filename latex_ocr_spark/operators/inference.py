@@ -160,7 +160,10 @@ def decode_groups(
                      "n_tokens": []}
                 )
 
-    decoded_oversized = oversized.repartition(n_parts).mapInPandas(
-        infer_rows, schema=DECODED_SCHEMA
-    )
+    # oversized rows are rare (no-bucket-fits fallback): one partition per
+    # core is enough to round-robin them; n_parts here would mostly dispatch
+    # empty python-worker tasks
+    decoded_oversized = oversized.repartition(
+        max(sc.defaultParallelism, 8)
+    ).mapInPandas(infer_rows, schema=DECODED_SCHEMA)
     return decoded_normal.unionByName(decoded_oversized)

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Small fixture tables pack into 1-2 splits under openCostInBytes
+        # bin-packing, starving the scan-attached pandas-UDF stages; ask the
+        # planner for at least one split per core (harmless at 100 TB where
+        # file count >> cores, load-bearing for small partitions of a pruned
+        # read).
+        .config("spark.sql.files.minPartitionNum", str(cores))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
