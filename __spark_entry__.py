@@ -321,6 +321,69 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return S.lsh_cosine_topk(_embeddings(spark, sf_dir), k=5, n_queries=50)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥0.99), SRP-LSH-pruned + exact-verified
+    over the corpus with planted shifted copies."""
+    return S.embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.99)
+
+
+def _q_ivf_cosine_topk(spark, sf_dir):
+    """IVF-bucketed approximate ANN (rows-only; recall vs brute force is
+    asserted in tests/test_operators.py)."""
+    return S.ivf_cosine_topk(_embeddings(spark, sf_dir), k=5, n_queries=50)
+
+
+def _q_bleu_score(spark, sf_dir):
+    """A4: corpus BLEU-4 as a pure relational plan (explode n-grams, clipped-
+    count join, scalar expression) over the standard mutated ref/hyp pairs."""
+    from latex_ocr_spark.eval.metrics import bleu4_relational
+
+    docs = _documents(spark, sf_dir)
+    pairs = docs.select(
+        F.col("text").alias("ref"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), 6, F.size(F.split("text", " ")))
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("hyp"),
+    )
+    return bleu4_relational(pairs)
+
+
+def _q_main_content_extract(spark, sf_dir):
+    """North-rule main-content extraction: wrap each document in deterministic
+    HTML boilerplate (head/script/nav/header/aside/footer), strip it back out
+    with the regexp pipeline, and verify recovery of the original text."""
+    from latex_ocr_spark.operators.text_analysis import strip_boilerplate
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit(
+                '<html><head><title>Doc</title><style>p{color:red}</style>'
+                "<script>var x = 1 < 2;</script></head><body>"
+                '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+                "<header>Site Header</header><div id=\"main\"><p>"
+            ),
+            F.col("text"),
+            F.lit(
+                "</p></div><aside>Related links</aside>"
+                "<footer>(c) 2026 Example</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    out = strip_boilerplate(docs, "html")
+    return out.select(
+        "doc_id",
+        "main_text",
+        (F.col("main_text") == F.col("text")).cast("int").alias("matches"),
+    )
+
+
 def _q_token_count(spark, sf_dir):
     return TA.token_count(_documents(spark, sf_dir))
 
@@ -462,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "ivf_cosine_topk": _q_ivf_cosine_topk,
+        "bleu_score": _q_bleu_score,
+        "main_content_extract": _q_main_content_extract,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
@@ -614,6 +681,97 @@ SELECT query_id, neighbor_id, sim, rank FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM dots
 ) WHERE rank <= 5
+""",
+        "embedding_neardup": "WITH "
+        + S.EMB_WITH_DUPS_CTE_DUCKDB.strip()
+        + """
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(round(
+           list_dot_product(a.embedding, b.embedding)
+           / (sqrt(list_dot_product(a.embedding, a.embedding))
+            * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS DOUBLE) AS sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+) WHERE sim >= 0.99
+""",
+        "bleu_score": f"""
+WITH pairs AS (
+  SELECT text AS ref, {mutate} AS hyp FROM documents
+),
+tok AS (
+  SELECT row_number() OVER () AS pair_id,
+         string_split(ref, ' ') AS rw, string_split(hyp, ' ') AS hw
+  FROM pairs
+),
+hgrams AS (
+  SELECT pair_id, CAST(n AS INT) AS n,
+         array_to_string(hw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram
+  FROM tok CROSS JOIN range(1, 5) tn(n) CROSS JOIN range(1, 256) ti(i)
+  WHERE i <= len(hw) - n + 1
+),
+rgrams AS (
+  SELECT pair_id, CAST(n AS INT) AS n,
+         array_to_string(rw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram
+  FROM tok CROSS JOIN range(1, 5) tn(n) CROSS JOIN range(1, 256) ti(i)
+  WHERE i <= len(rw) - n + 1
+),
+hc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS cnt FROM hgrams GROUP BY 1, 2, 3),
+rc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS rcnt FROM rgrams GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT hc.n,
+         sum(least(hc.cnt, coalesce(rc.rcnt, 0))) AS clip,
+         sum(hc.cnt) AS tot
+  FROM hc LEFT JOIN rc ON rc.pair_id = hc.pair_id AND rc.n = hc.n AND rc.gram = hc.gram
+  GROUP BY hc.n
+),
+stats AS (
+  SELECT sum(clip) FILTER (WHERE n = 1) AS clip1, sum(tot) FILTER (WHERE n = 1) AS tot1,
+         sum(clip) FILTER (WHERE n = 2) AS clip2, sum(tot) FILTER (WHERE n = 2) AS tot2,
+         sum(clip) FILTER (WHERE n = 3) AS clip3, sum(tot) FILTER (WHERE n = 3) AS tot3,
+         sum(clip) FILTER (WHERE n = 4) AS clip4, sum(tot) FILTER (WHERE n = 4) AS tot4
+  FROM per_n
+),
+lens AS (SELECT sum(len(hw)) AS hyp_len, sum(len(rw)) AS ref_len FROM tok)
+SELECT CAST(round(
+  CASE WHEN coalesce(clip1, 0) = 0 OR coalesce(clip2, 0) = 0
+         OR coalesce(clip3, 0) = 0 OR coalesce(clip4, 0) = 0
+         OR coalesce(tot1, 0) = 0 OR coalesce(tot2, 0) = 0
+         OR coalesce(tot3, 0) = 0 OR coalesce(tot4, 0) = 0
+  THEN 0.0
+  ELSE (CASE WHEN hyp_len > ref_len THEN 1.0
+        ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len) END)
+       * exp((ln(CAST(clip1 AS DOUBLE) / tot1) + ln(CAST(clip2 AS DOUBLE) / tot2)
+            + ln(CAST(clip3 AS DOUBLE) / tot3) + ln(CAST(clip4 AS DOUBLE) / tot4)) / 4.0)
+  END, 4) AS DOUBLE) AS bleu4
+FROM stats, lens
+""",
+        "main_content_extract": r"""
+WITH wrapped AS (
+  SELECT doc_id, text,
+    '<html><head><title>Doc</title><style>p{color:red}</style><script>var x = 1 < 2;</script></head><body><nav><a href="/">Home</a> | <a href="/about">About</a></nav><header>Site Header</header><div id="main"><p>'
+    || text ||
+    '</p></div><aside>Related links</aside><footer>(c) 2026 Example</footer></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(html,
+        '(?i)<head\b[^>]*>[\s\S]*?</head>', ' ', 'g'),
+        '(?i)<script\b[^>]*>[\s\S]*?</script>', ' ', 'g'),
+        '(?i)<style\b[^>]*>[\s\S]*?</style>', ' ', 'g'),
+        '(?i)<nav\b[^>]*>[\s\S]*?</nav>', ' ', 'g'),
+        '(?i)<header\b[^>]*>[\s\S]*?</header>', ' ', 'g'),
+        '(?i)<footer\b[^>]*>[\s\S]*?</footer>', ' ', 'g'),
+        '(?i)<aside\b[^>]*>[\s\S]*?</aside>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+        '\s+', ' ', 'g')) AS main_text
+  FROM wrapped
+)
+SELECT doc_id, main_text,
+       CAST(CASE WHEN main_text = text THEN 1 ELSE 0 END AS INT) AS matches
+FROM stripped
 """,
         "token_count": """
 SELECT doc_id,

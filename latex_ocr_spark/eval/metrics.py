@@ -81,6 +81,96 @@ def _ngram_counts(tokens: list[str], n: int) -> Counter:
     return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
+def _grams_expr(words_col: str, n: int):
+    """Array of space-joined n-grams as a built-in expression. The size guard
+    matters: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> array_join(slice({words_col}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def bleu4_relational(pairs: DataFrame, ref: str = "ref", hyp: str = "hyp") -> DataFrame:
+    """Corpus BLEU-4 as a single relational plan (no UDF, no driver math):
+    n-grams for orders 1–4 exploded in one pass, clipped counts via a
+    left join of hyp-gram counts onto ref-gram counts, final scalar (geometric
+    mean of precisions × brevity penalty) as one expression over the joined
+    1-row aggregates. Same formula as ``bleu4`` (nltk corpus_bleu, uniform
+    weights, no smoothing — /root/reference/model/evaluation/text.py:60-73);
+    SQL-expressible so the DuckDB oracle can replay it exactly."""
+    # pair key derived from content, NOT monotonically_increasing_id: the id
+    # is re-evaluated independently in the hc/rc plan branches and need not
+    # assign the same value to the same row twice. Hash collisions merge two
+    # identical (ref,hyp) pairs, which leaves every corpus-level sum unchanged
+    # (min(2a,2b) = 2·min(a,b) when the pairs are equal).
+    base = pairs.select(
+        F.xxhash64(F.col(ref), F.col(hyp)).alias("pair_id"),
+        F.split(F.col(ref), " ").alias("rw"),
+        F.split(F.col(hyp), " ").alias("hw"),
+    )
+
+    def gram_counts(words_col: str):
+        # single-arg lambda factory: a two-parameter lambda (even with a
+        # default) makes F.transform pass the ARRAY INDEX as the second arg
+        def tag(n):
+            return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+        structs = F.flatten(
+            F.array(
+                *[F.transform(_grams_expr(words_col, n), tag(n)) for n in range(1, 5)]
+            )
+        )
+        return (
+            base.select("pair_id", F.explode(structs).alias("g"))
+            .groupBy("pair_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    hc = gram_counts("hw")
+    rc = gram_counts("rw").withColumnRenamed("cnt", "rcnt")
+    per_n = (
+        hc.join(rc, ["pair_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("cnt"), F.coalesce(F.col("rcnt"), F.lit(0)))).alias("clip"),
+            F.sum("cnt").alias("tot"),
+        )
+    )
+    stats = per_n.agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col(c))).alias(f"{c}{n}")
+            for n in range(1, 5)
+            for c in ("clip", "tot")
+        ]
+    )
+    lens = base.agg(
+        F.sum(F.size("hw")).alias("hyp_len"), F.sum(F.size("rw")).alias("ref_len")
+    )
+    joined = stats.crossJoin(lens)
+    log_sum = sum(
+        F.log(F.col(f"clip{n}").cast("double") / F.col(f"tot{n}")) for n in range(1, 5)
+    )
+    bp = F.when(F.col("hyp_len") > F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("ref_len").cast("double") / F.col("hyp_len"))
+    )
+    any_zero = sum(
+        (
+            (F.col(f"clip{n}") == 0) | F.col(f"clip{n}").isNull()
+            | (F.col(f"tot{n}") == 0) | F.col(f"tot{n}").isNull()
+        ).cast("int")
+        for n in range(1, 5)
+    )
+    return joined.select(
+        F.round(
+            F.when(any_zero > 0, F.lit(0.0)).otherwise(bp * F.exp(log_sum / 4.0)), 4
+        )
+        .cast("double")
+        .alias("bleu4")
+    )
+
+
 def bleu4(pairs: DataFrame, ref: str = "ref", hyp: str = "hyp") -> DataFrame:
     """Corpus BLEU-4 (uniform weights, no smoothing — nltk default):
     per-row clipped counts in an Arrow-batched pandas UDF, one global agg."""

@@ -100,6 +100,173 @@ def srp_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int, table: i
     return sig
 
 
+# Planted near-duplicate embeddings: for vec_id % 20 == 0 add a copy with a
+# constant +0.01 shift on every coordinate (cosine ≈ 0.997 on these
+# small-magnitude random vectors). Mirrored verbatim in the DuckDB oracle CTE — both engines cast the
+# float32 coordinates to double BEFORE the shift.
+EMB_WITH_DUPS_CTE_DUCKDB = """
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+"""
+
+
+def emb_with_dups(embeddings: DataFrame) -> DataFrame:
+    base = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    shifted = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
+    )
+    return base.unionByName(shifted)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold, LSH-pruned then
+    exact-verified (the embedding analog of minhash_lsh_pairs): SRP signatures
+    bucket candidates with an equi-join — never a cross join — and only
+    candidates are scored. Output = exactly the true pairs, because at
+    sim ≥ 0.99 (θ ≤ 0.081 rad) a 4-plane table agrees w.p. (1-θ/π)^4 ≈ 0.90,
+    so P(miss over 12 tables) ≈ 1e-12 — same LSH-only-prunes contract as the
+    MinHash path (dedup.py)."""
+    base = emb_with_dups(embeddings)
+    table_structs = [
+        F.struct(
+            F.lit(t).alias("table"),
+            srp_signature(base, "embedding", dim, n_planes, t).alias("sig"),
+        )
+        for t in range(n_tables)
+    ]
+    sigs = (
+        base.select("vec_id", F.explode(F.array(*table_structs)).alias("ts"))
+        .select("vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qv"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("nv"))
+    scored = with_cosine(cands.join(va, "vec_a").join(vb, "vec_b"))
+    return scored.filter(F.col("sim") >= threshold).select("vec_a", "vec_b", "sim")
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine: k-means centroids trained
+    on a driver-side sample (standard IVF practice — the index is trained on a
+    bounded sample, then applied distributed), every vector assigned to its
+    nearest centroid with built-in expressions, queries probe only the
+    ``n_probe`` nearest cells, exact re-rank inside the probed cells.
+
+    The scale path vs brute force: candidate generation is an equi-join on
+    centroid_id (cells shard the corpus), so the scored set shrinks by
+    ~n_probe/n_centroids. Approximate (rows-only oracle); recall vs
+    ``cosine_topk`` is asserted in tests."""
+    from pyspark.sql import Window
+
+    base = embeddings.select("vec_id", "embedding")
+    # --- train: seeded spherical k-means on a deterministic sample ----------
+    sample = np.array(
+        base.orderBy("vec_id")
+        .limit(train_sample)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(SRP_SEED)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    # --- assign: nearest-centroid id as one built-in expression --------------
+    def _cent_dots(vec_col):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in cent[c]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in range(n_centroids)
+            ]
+        )
+
+    assigned = base.withColumn("dots", _cent_dots("embedding")).select(
+        "vec_id",
+        "embedding",
+        (F.array_position(F.col("dots"), F.array_max("dots")) - 1)
+        .cast("int")
+        .alias("cid"),
+    )
+    # --- probe: each query expands to its n_probe nearest cells --------------
+    qdots = (
+        base.filter(F.col("vec_id") < n_queries)
+        .withColumn("dots", _cent_dots("embedding"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.posexplode("dots").alias("cid", "cdot"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cid").asc())
+    probes = (
+        qdots.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qv", F.col("cid").cast("int").alias("cid"))
+    )
+    # --- candidate gen: equi-join on cell id, then exact re-rank -------------
+    cands = probes.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "cid"),
+        "cid",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(cands)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -102,6 +102,28 @@ def language_id(corpus: DataFrame) -> DataFrame:
     return corpus.select(*sel)
 
 
+# Block-level tags whose entire content is boilerplate (dropped content and
+# all), then any remaining tag is stripped markup-only. Order matters: block
+# removal first, tag strip second, whitespace collapse last.
+BOILERPLATE_BLOCKS = ["head", "script", "style", "nav", "header", "footer", "aside"]
+
+
+def strip_boilerplate(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Main-content extraction from an HTML column: drop script/style/nav/
+    header/footer/aside blocks wholesale, strip remaining tags, collapse
+    whitespace. Pure regexp_replace chain (JVM codegen, no UDF); the DuckDB
+    oracle replays the identical regex pipeline. A DOM parser would live in a
+    mapInPandas stage; the regex path is the shuffle-free fast path for the
+    overwhelmingly common flat-markup case."""
+    col = F.col(html_col)
+    for tag in BOILERPLATE_BLOCKS:
+        col = F.regexp_replace(col, rf"(?i)<{tag}\b[^>]*>[\s\S]*?</{tag}>", " ")
+    col = F.regexp_replace(col, r"<[^>]+>", " ")          # leftover markup → separator
+    col = F.regexp_replace(col, r"\s+", " ")              # collapse runs
+    col = F.trim(col)
+    return df.withColumn("main_text", col)
+
+
 def fingerprint(corpus: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the whitespace/case-normalized text
     (md5 is engine-stable, unlike xxhash64 which DuckDB lacks)."""

@@ -57,3 +57,17 @@ def test_bleu4_perfect_and_degraded(spark):
     # unigrams 4/5, bigrams 3/4, trigrams 2/3, 4grams 1/2; bp=1 (equal len)
     expect = round(math.exp(sum(math.log(x) for x in (4 / 5, 3 / 4, 2 / 3, 1 / 2)) / 4), 4)
     assert bleu4(p).collect()[0].bleu4 == expect
+
+
+def test_bleu4_relational_matches_pandas_bleu4(spark):
+    from latex_ocr_spark.eval.metrics import bleu4, bleu4_relational
+
+    rows = [
+        ("a b c d e f g", "a b c d e f g"),          # perfect
+        ("a b c d e f g h i", "b c d e f g h i"),    # prefix dropped
+        ("x y z w q r s t", "x y z z w q r s"),      # local swap/dup
+    ]
+    pairs = spark.createDataFrame(rows, ["ref", "hyp"])
+    got = bleu4_relational(pairs).collect()[0].bleu4
+    want = bleu4(pairs).collect()[0].bleu4
+    assert abs(got - want) < 1e-9, (got, want)

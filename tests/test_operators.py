@@ -140,3 +140,51 @@ def test_fingerprint_normalization(spark):
     )
     fp = {r.doc_id: r.fp_md5 for r in TA.fingerprint(docs).collect()}
     assert fp[1] == fp[2]
+
+
+def test_embedding_neardup_finds_planted_shifts(spark, embeddings):
+    pairs = S.embedding_neardup_pairs(embeddings, threshold=0.99).collect()
+    n_planted = embeddings.filter(F.col("vec_id") % 20 == 0).count()
+    assert len(pairs) == n_planted
+    for p in pairs:
+        assert p.vec_b == p.vec_a + 1000000  # each pair is (v, shifted copy)
+        assert p.sim >= 0.99
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embeddings, k=5, n_queries=20).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_cosine_topk(embeddings, k=5, n_queries=20).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # probing all cells must reproduce brute force exactly
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_cosine_topk(
+            embeddings, k=5, n_queries=20, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_strip_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><title>T</title><script>if (1 < 2) alert("x");'
+                "</script></head><body><NAV>menu</NAV><p>Real   content"
+                "</p><br/><footer>foot</footer></body></html>",
+            ),
+            (2, "no markup at all"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r.doc_id: r.main_text for r in TA.strip_boilerplate(docs).collect()}
+    assert out[1] == "Real content"  # head/nav/footer gone, whitespace collapsed
+    assert out[2] == "no markup at all"
