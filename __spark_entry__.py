@@ -481,6 +481,39 @@ def _q_tpch_q1(spark, sf_dir):
     return tpch_q1(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
 
 
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _q_tpch_q3(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import tpch_q3
+
+    return tpch_q3(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q5(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import tpch_q5
+
+    return tpch_q5(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q6(spark, sf_dir):
+    from latex_ocr_spark.operators.relational import tpch_q6
+
+    return tpch_q6(_tbl(spark, sf_dir, "lineitem"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -544,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": _q_cube_order_stats,
         "pivot_events": _q_pivot_events,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
     }
 
 
@@ -899,6 +935,45 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+        "tpch_q6": """
+SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
 """,
         # rows-only (non-SQL-expressible): simhash (xxhash64-based),
         # lsh_cosine_topk (approximate), extract_media_decoded (model decode),

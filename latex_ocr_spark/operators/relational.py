@@ -104,6 +104,104 @@ def pivot_events(events: DataFrame) -> DataFrame:
     return out
 
 
+def tpch_q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: o_orderpriority stands in for the
+    missing o_shippriority column). Join strategy: the filtered customer dim
+    is broadcast — the fact-side lineitem scan never shuffles for it; orders ⋈
+    lineitem is the one key shuffle. Deterministic top-10 via (revenue DESC,
+    l_orderkey ASC)."""
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ord_f = orders.filter(F.col("o_orderdate") < F.lit("1998-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 local-supplier volume for ASIA, 1996. The dimension chain
+    region→nation→(customer, supplier) is tiny and broadcast end-to-end; only
+    orders ⋈ lineitem shuffles. The c_nationkey = s_nationkey correlation is
+    applied as a post-join predicate exactly as the spec writes it."""
+    nat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nk"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supplier.s_nationkey == nat.n_nationkey,
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nk"))
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nk") == F.col("s_nk"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def tpch_q6(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change — pure scan+filter+agg; the filters
+    push down to the parquet reader (PushedFilters in .explain)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def tpch_q1(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 pricing summary (the canonical groupBy-agg benchmark shape)."""
     return (
