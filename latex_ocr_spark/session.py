@@ -18,14 +18,23 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    master: str | None = "local",
 ) -> SparkSession:
+    """``master='local'`` (default) pins local[cores] for tests/bench;
+    ``master=None`` leaves the master to spark-submit (cluster deployments —
+    job.py passes None so ``spark-submit --master yarn/k8s --py-files ...``
+    controls placement)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    b = SparkSession.builder
+    if master == "local":
+        b = b.master(f"local[{cores}]")
+    elif master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -58,3 +58,31 @@ def test_resume_after_injected_failure(spark, corpus, tmp_path_factory):
     ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref", "s.offset")
     assert flat(a).exceptAll(flat(b)).count() == 0
     assert flat(b).exceptAll(flat(a)).count() == 0
+
+
+def test_job_cli_end_to_end_and_resume(spark, tmp_path_factory):
+    """job.py main(): fresh run processes every partition; second invocation
+    resumes to a no-op (all partitions checkpointed)."""
+    import job
+    from latex_ocr_spark.operators.checkpoint import completed_parts
+    from latex_ocr_spark.sources import build_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = build_corpus(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("job_out"))
+    rc = job.main(
+        ["--input", corpus, "--output", out, "--local", "--cores", "8",
+         "--profile", "small"]
+    )
+    assert rc == 0
+    done = completed_parts(spark, out)
+    assert done, "first run must checkpoint partitions"
+    n_docs = spark.read.parquet(f"{out}/docs").count()
+    assert n_docs > 0
+    rc = job.main(
+        ["--input", corpus, "--output", out, "--local", "--cores", "8",
+         "--profile", "small"]
+    )
+    assert rc == 0
+    assert completed_parts(spark, out) == done
+    assert spark.read.parquet(f"{out}/docs").count() == n_docs
