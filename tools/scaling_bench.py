@@ -34,7 +34,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORES = (2, 4, 8, 16, 32)
+CORES = tuple(
+    int(c) for c in os.environ.get("SCALING_CORES", "2,4,8,16,32").split(",")
+)
+ALL_CORES = (2, 4, 8, 16, 32)  # legs carried through SCALING.json merging
 PAIRS = ((2, 8), (4, 16), (8, 32))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 WARM_REPS = 3
@@ -81,17 +84,20 @@ def run_leg(sf_dir: str, cores: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    walls: dict[int, list[float]] = {n: [] for n in CORES}
-    colds: dict[int, list[float]] = {n: [] for n in CORES}
+    walls: dict[int, list[float]] = {n: [] for n in ALL_CORES}
+    colds: dict[int, list[float]] = {n: [] for n in ALL_CORES}
     docs = 0
     # accumulate samples across invocations (same estimator, more data): the
-    # per-leg min is over every warm wall ever recorded for this sf_dir
+    # per-leg min is over every warm wall ever recorded for this sf_dir.
+    # SCALING_CORES can restrict which legs get NEW samples; prior samples of
+    # every leg are always carried through.
     prev_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(prev_path) and os.environ.get("SCALING_FRESH") != "1":
         try:
             prev = json.load(open(prev_path))
             if prev.get("sf_dir") == sf_dir:
-                for n in CORES:
+                docs = prev.get("docs", 0)
+                for n in ALL_CORES:
                     r = prev.get("runs", {}).get(f"local[{n}]", {})
                     walls[n].extend(r.get("all_warm_walls_s", []))
                     if "cold_wall_s" in r:
@@ -107,7 +113,8 @@ def main() -> None:
             print(f"round {r} local[{n}]: cold={leg['cold']} warms={leg['warms']}",
                   file=sys.stderr)
 
-    best = {n: min(walls[n]) for n in CORES}
+    legs = [n for n in ALL_CORES if walls[n]]
+    best = {n: min(walls[n]) for n in legs}
 
     def thr(n):
         return docs / best[n]
@@ -121,25 +128,27 @@ def main() -> None:
             f"local[{n}]": {
                 "warm_wall_s": best[n],
                 "all_warm_walls_s": walls[n],
-                "cold_wall_s": min(colds[n]),
+                "cold_wall_s": min(colds[n]) if colds[n] else None,
                 "docs_per_sec": round(thr(n), 2),
             }
-            for n in CORES
+            for n in legs
         },
         **{
             f"efficiency_{a}_to_{b}": round((thr(b) / thr(a)) / 4.0, 3)
             for a, b in PAIRS
+            if a in best and b in best
         },
     }
     print(json.dumps(result, indent=2))
 
-    eff = {n: "—" for n in CORES}
+    eff = {n: "—" for n in legs}
     for a, b in PAIRS:
-        eff[b] = str(result[f"efficiency_{a}_to_{b}"]) + f" (vs local[{a}])"
+        if f"efficiency_{a}_to_{b}" in result:
+            eff[b] = str(result[f"efficiency_{a}_to_{b}"]) + f" (vs local[{a}])"
     rows = [
         f"| extract_pipeline @ {os.path.basename(sf_dir)} (warm min) | local[{n}] "
         f"| {docs} | {best[n]} | {round(thr(n), 2)} | {eff[n]} |"
-        for n in CORES
+        for n in legs
     ]
     table = (
         "| run | parallelism | docs | wall s | docs/s | efficiency |\n"
