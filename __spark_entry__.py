@@ -69,18 +69,26 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE = "WITH " + spans_duckdb_cte()
 _DUP_CTE = "WITH " + D.CORPUS_WITH_DUPS_CTE_DUCKDB.strip().rstrip(")") + ")"
 
-# DuckDB word-shingle CTE over the planted-dups corpus (mirrors dedup.shingles)
+# DuckDB word-shingle CTE over the planted-dups corpus (mirrors dedup.shingles
+# including the DEFAULT_MAX_SHINGLE_FREQ doc-frequency skew cap; the shingle
+# index comes from scalar range() unnest so there is no length cap to outgrow)
 _SHINGLE_CTE = (
     _DUP_CTE
-    + """,
+    + f""",
 wordlists AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|' || w[CAST(i AS INT)+2]) AS shingle
-  FROM wordlists CROSS JOIN range(1, 1024) t(i)
-  WHERE i <= greatest(len(w) - 2, 1)
-    AND (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|' || w[CAST(i AS INT)+2]) IS NOT NULL
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(greatest(len(w) - 2, 1) AS BIGINT) + 1)) AS i
+        FROM wordlists)
+  WHERE (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|' || w[CAST(i AS INT)+2]) IS NOT NULL
 ),
+shfreq AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {D.DEFAULT_MAX_SHINGLE_FREQ}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shfreq USING (shingle)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
@@ -741,15 +749,15 @@ tok AS (
 ),
 hgrams AS (
   SELECT pair_id, CAST(n AS INT) AS n,
-         array_to_string(hw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram
-  FROM tok CROSS JOIN range(1, 5) tn(n) CROSS JOIN range(1, 256) ti(i)
-  WHERE i <= len(hw) - n + 1
+         unnest(list_transform(range(1, len(hw) - CAST(n AS INT) + 2),
+                i -> array_to_string(hw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' '))) AS gram
+  FROM tok CROSS JOIN range(1, 5) tn(n)
 ),
 rgrams AS (
   SELECT pair_id, CAST(n AS INT) AS n,
-         array_to_string(rw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram
-  FROM tok CROSS JOIN range(1, 5) tn(n) CROSS JOIN range(1, 256) ti(i)
-  WHERE i <= len(rw) - n + 1
+         unnest(list_transform(range(1, len(rw) - CAST(n AS INT) + 2),
+                i -> array_to_string(rw[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' '))) AS gram
+  FROM tok CROSS JOIN range(1, 5) tn(n)
 ),
 hc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS cnt FROM hgrams GROUP BY 1, 2, 3),
 rc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS rcnt FROM rgrams GROUP BY 1, 2, 3),

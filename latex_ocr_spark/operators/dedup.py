@@ -21,6 +21,13 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Skew cap: shingles appearing in more than this many documents are dropped
+# before ANY join (both the exact self-join and the LSH signature build).
+# One stopword-shingle in 10^6 docs would otherwise emit 10^12 self-join rows.
+# The DuckDB oracle CTE (_SHINGLE_CTE in __spark_entry__.py) mirrors the same
+# cap so correctness stays exactly checkable with the cap active.
+DEFAULT_MAX_SHINGLE_FREQ = 256
+
 # Planted near-duplicates: for doc_id % 10 == 0, add a copy with doc_id+1e6
 # whose text drops the first 5 words; for doc_id % 15 == 0, add an exact copy
 # with doc_id+2e6. Mirrored verbatim in the DuckDB oracle CTE.
@@ -104,28 +111,9 @@ def shingles(corpus: DataFrame, n: int = 3, max_freq: int | None = None) -> Data
     return sh
 
 
-def jaccard_pairs(
-    corpus: DataFrame, n: int = 3, threshold: float = 0.6, sh: DataFrame | None = None
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs ≥ threshold via shingle self-join —
-    inter/(|A|+|B|-inter). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
-
-    The shingle set feeds four plan branches (two join sides + two size
-    lookups); persist it so the scan+split+distinct runs once, not four times
-    (at cluster scale you'd materialize the shingle table instead)."""
-    if sh is None:
-        sh = shingles(corpus, n=n).persist()
+def _jaccard_from_inter(inter: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, inter) + shingle-set sizes → (doc_a, doc_b, jaccard ≥ t)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
@@ -140,22 +128,76 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
+    max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold via shingle self-join —
+    inter/(|A|+|B|-inter). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The shingle set feeds four plan branches (two join sides + two size
+    lookups); persist it so the scan+split+distinct runs once, not four times
+    (at cluster scale you'd materialize the shingle table instead)."""
+    if sh is None:
+        sh = shingles(corpus, n=n, max_freq=max_freq).persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sh, threshold)
+
+
+def candidate_jaccard(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs only — the LSH verification step.
+
+    Joins the pair list to the shingle table twice: fan (doc_a, doc_b) out by
+    doc_a's shingles, then equi-join on (doc_b, shingle) to count the
+    intersection per pair. Cost is O(candidates × avg shingles/doc), never the
+    full corpus self-join — this is what makes the LSH actually prune at
+    10^12-doc scale. Pairs with empty intersection drop out of the inner join,
+    which is correct for any threshold > 0."""
+    fan = candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    inter = (
+        fan.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sh, threshold)
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame,
     n: int = 3,
     threshold: float = 0.6,
     num_hashes: int = 128,
     bands: int = 64,
+    max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-verified.
+    """MinHash + LSH near-dup pairs, exact-verified on candidates only.
 
     signature: 128 permutation-free min-hashes h_i(s) = (a_i*x + b_i) mod p
     (p = 2^31-1; a_i*x fits a 64-bit long, so the whole signature stays in
     JVM long arithmetic inside whole-stage codegen) over xxhash64 shingle
     keys; banding (64 bands × 2 rows) buckets candidate pairs with an
     equi-join (never a cross join); candidates are then verified with exact
-    Jaccard so output = true pairs ≥ threshold (LSH only prunes).
-    At 64×2 banding, P(miss) for s ≥ 0.6 is ≤ (1-0.36)^64 ≈ 4e-13.
+    Jaccard computed ONLY for the candidate pairs (candidate_jaccard — the
+    full-corpus self-join is never built), so output = true pairs ≥ threshold
+    (LSH only prunes). At 64×2 banding, P(miss) for s ≥ 0.6 is
+    ≤ (1-0.36)^64 ≈ 4e-13.
     """
     rows_per_band = num_hashes // bands
     p = 2147483647  # 2^31 - 1
@@ -163,7 +205,7 @@ def minhash_lsh_pairs(
     rng_a = (1 + rng.integers(0, p - 1, num_hashes)).tolist()
     rng_b = rng.integers(0, p, num_hashes).tolist()
 
-    sh = shingles(corpus, n=n).persist()
+    sh = shingles(corpus, n=n, max_freq=max_freq).persist()
     keyed = sh.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).cast("long").alias("x")
     )
@@ -201,10 +243,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = jaccard_pairs(corpus, n=n, threshold=threshold, sh=sh)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return candidate_jaccard(candidates, sh, threshold)
 
 
 def simhash_64(corpus: DataFrame) -> DataFrame:
