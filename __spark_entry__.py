@@ -105,6 +105,38 @@ jac AS (
 """
 )
 
+def _simhash_cte() -> str:
+    """DuckDB mirror of dedup.simhash_64: md5 hex digits → bit votes → sign.
+    Terms are summed in ascending bit order so no BIGINT partial sum can
+    overflow (bits 0..62 sum to < 2^63; the b63 term is the only negative)."""
+    vals = ",\n         ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) AS v{d}"
+        for d in range(16)
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (v{b // 4} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    simsum = "\n       + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST("
+        + (str(2**b) if b < 63 else "(-9223372036854775807 - 1)")
+        + f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return (
+        _DUP_CTE
+        + f""",
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+wh AS (SELECT doc_id, md5(w) AS h FROM words WHERE w <> ''),
+vals AS (SELECT doc_id, {vals} FROM wh),
+votes AS (SELECT doc_id, {votes} FROM vals GROUP BY doc_id),
+sim AS (SELECT doc_id, ({simsum}) AS simhash FROM votes)
+"""
+    )
+
+
+_SIMHASH_CTE = _simhash_cte()
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -319,6 +351,11 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     return D.simhash_64(_dup_corpus(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-≤7 near-dup pairs via bit-block banding equi-join."""
+    return D.simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=7, n_blocks=8)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -564,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -707,6 +745,25 @@ ORDER BY text_md5
 """,
         "ngram_jaccard_pairs": _SHINGLE_CTE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
+        "simhash": _SIMHASH_CTE
+        + "SELECT doc_id, simhash FROM sim",
+        "simhash_pairs": _SIMHASH_CTE
+        + """,
+blocks AS (
+  SELECT doc_id, simhash, CAST(k AS INT) AS block_idx,
+         (simhash >> CAST(8 * k AS INT)) & 255 AS block_bits
+  FROM sim CROSS JOIN range(0, 8) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_bits = b.block_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 7
+""",
         "minhash_lsh_pairs": _SHINGLE_CTE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
         "cosine_topk": """
@@ -983,7 +1040,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
 """,
-        # rows-only (non-SQL-expressible): simhash (xxhash64-based),
-        # lsh_cosine_topk (approximate), extract_media_decoded (model decode),
+        # rows-only (non-SQL-expressible): lsh_cosine_topk + ivf_cosine_topk
+        # (approximate), extract_media_decoded (model decode),
         # bucket_histogram + media_image_features (binary image content)
     }

@@ -247,31 +247,110 @@ def minhash_lsh_pairs(
 
 
 def simhash_64(corpus: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from word xxhash64 bits — (doc_id, simhash).
+    """64-bit SimHash per document from md5-derived word-hash bits —
+    (doc_id, simhash).
 
     Weighted bit-vote: for each of 64 bit positions, +1 if the word hash has
-    the bit set else -1; simhash bit = sign. All built-in expressions
-    (shiftright/bitwise AND), no UDF.
+    the bit set else -1; simhash bit = sign(vote). Word-hash bit b is bit
+    (b mod 4) of hex digit (b div 4) of md5(word) — md5 (not xxhash64) so the
+    DuckDB oracle can derive the exact same bits from string ops; the whole
+    thing stays built-in expressions inside whole-stage codegen, no UDF.
     """
     words = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    h = words.select("doc_id", F.xxhash64("w").alias("h"))
-    votes = h.groupBy("doc_id").agg(
+    hexd = F.md5("w")
+    # 16 hex-digit values (0..15), one projection
+    vals = words.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring(hexd, d + 1, 1)) - 1)
+            .cast("int")
+            .alias(f"v{d}")
+            for d in range(16)
+        ],
+    )
+    votes = vals.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"v{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(64)
         ]
     )
-    sim = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+                F.when(
+                    F.col(f"b{b}") > 0,
+                    F.lit(2**b if b < 63 else -(2**63)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
                 for b in range(64)
             ]
         ).alias("simhash"),
     )
-    return sim
+
+
+def simhash_pairs(
+    corpus: DataFrame, max_hamming: int = 7, n_blocks: int = 8
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance ≤ max_hamming —
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Candidate generation is bit-block banding (the Hamming analog of MinHash
+    banding): the 64-bit signature splits into ``n_blocks`` equal blocks; by
+    pigeonhole any pair within Hamming ≤ n_blocks-1 shares at least one whole
+    block, so an equi-join on (block_idx, block_bits) finds every true pair
+    for max_hamming ≤ n_blocks-1 — never a cross join. Verification is one
+    bit_count(xor) per candidate. Arithmetic-vs-logical shift doesn't matter:
+    the & mask keeps only the block's own bits.
+    """
+    assert max_hamming <= n_blocks - 1, "banding guarantee needs blocks > hamming"
+    bits_per = 64 // n_blocks
+    mask = (1 << bits_per) - 1
+    sigs = simhash_64(corpus)
+    block_structs = [
+        F.struct(
+            F.lit(k).alias("block_idx"),
+            F.shiftright(F.col("simhash"), k * bits_per)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_bits"),
+        )
+        for k in range(n_blocks)
+    ]
+    blocks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.block_idx").alias("block_idx"),
+        F.col("bk.block_bits").alias("block_bits"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

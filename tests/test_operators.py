@@ -78,6 +78,27 @@ def test_simhash_identical_for_exact_dups_and_close_for_near_dups(spark, dup_cor
     assert sum(hammings) / len(hammings) < 24, "near-dups should be hamming-close"
 
 
+def test_simhash_pairs_match_bruteforce_hamming(spark, dup_corpus):
+    """Bit-block banding with 8 blocks must find EXACTLY the pairs within
+    Hamming ≤ 7 (pigeonhole guarantee) — brute-force checked on the test
+    corpus, plus every planted exact copy at hamming 0."""
+    sim = {r.doc_id: r.simhash for r in D.simhash_64(dup_corpus).collect()}
+    ids = sorted(sim)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sim[a] ^ sim[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 7:
+                expect.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(dup_corpus, max_hamming=7, n_blocks=8).collect()
+    }
+    assert set(got) == expect
+    exact_copies = {d for d in sim if d >= 2000000}
+    for d in exact_copies:
+        assert got[(d - 2000000, d)] == 0
+
+
 def test_cosine_topk_exact_properties(spark, embeddings):
     top = S.cosine_topk(embeddings, k=5, n_queries=10).collect()
     by_q = {}
