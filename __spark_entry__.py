@@ -476,7 +476,9 @@ def _q_bucket_histogram(spark, sf_dir):
     spans = explode_spans(docs).filter(F.col("kind") == "media")
     media = read_media(spark, corpus).select("media_ref", "image")
     prepped = preprocess_spans(
-        spans.join(media, "media_ref").select("doc_id", "offset", "media_ref", "image"),
+        spans.join(media, "media_ref").select(
+            "doc_id", "part", "offset", "media_ref", "image"
+        ),
         PipelineConfig(),
     )
     return (

@@ -66,11 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         if args.no_resume:
-            ckpt = os.path.join(args.output, "_checkpoint")
-            if os.path.exists(ckpt):
-                import shutil
+            from latex_ocr_spark.operators.checkpoint import clear_checkpoint
 
-                shutil.rmtree(ckpt)
+            clear_checkpoint(spark, args.output)
         before = completed_parts(spark, args.output)
         processed = run_with_checkpoint(
             spark,

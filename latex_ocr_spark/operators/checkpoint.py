@@ -17,7 +17,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,12 +40,24 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 
 def _ckpt_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "_checkpoint")
+    return out_dir.rstrip("/") + "/_checkpoint"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under whatever scheme it carries —
+    local, hdfs://, s3a://. All checkpoint state I/O goes through this so
+    resumability works on the cluster deployments job.py advertises, not just
+    the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
     path = _ckpt_path(out_dir)
-    if not os.path.exists(path):
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         return set()
     rows = (
         spark.read.schema(CHECKPOINT_SCHEMA)
@@ -58,15 +70,31 @@ def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.part for r in rows}
 
 
-def _append_checkpoint(out_dir: str, row: dict) -> None:
+def clear_checkpoint(spark: SparkSession, out_dir: str) -> None:
+    """Drop the checkpoint table (job.py --no-resume) via the Hadoop FS API."""
+    fs, hpath = _hadoop_fs(spark, _ckpt_path(out_dir))
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _append_checkpoint(spark: SparkSession, out_dir: str, row: dict) -> None:
     """Append one lineage record. JSON-lines dir keeps appends atomic per
     partition (one file per record) without table-format dependencies; an
-    Iceberg deployment would MERGE into a checkpoint table instead."""
+    Iceberg deployment would MERGE into a checkpoint table instead. Written
+    through the Hadoop FS API so the record lands next to the output on
+    HDFS/S3, never on the driver's local disk."""
     path = _ckpt_path(out_dir)
-    os.makedirs(path, exist_ok=True)
-    fname = os.path.join(path, f"part-{row['part']}-{row['run_id']}.json")
-    with open(fname, "w") as f:
-        f.write(json.dumps(row) + "\n")
+    fs, dirp = _hadoop_fs(spark, path)
+    fs.setWriteChecksum(False)  # no .crc sidecars in the lineage dir
+    fs.mkdirs(dirp)
+    fname = spark._jvm.org.apache.hadoop.fs.Path(
+        dirp, f"part-{row['part']}-{row['run_id']}.json"
+    )
+    stream = fs.create(fname, True)
+    try:
+        stream.write(bytearray((json.dumps(row) + "\n").encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def run_with_checkpoint(
@@ -116,32 +144,36 @@ def run_with_checkpoint(
                 spark, corpus_dir, cfg=cfg, pipe=pipe, parts=[part], weights_bc=weights_bc
             )
             result = reassemble(flat)
-            result.write.mode("overwrite").partitionBy("part").parquet(out_docs)
-            stats = (
-                spark.read.parquet(out_docs)
-                .filter(F.col("part") == part)
-                .select(F.explode("spans").alias("s"), F.lit(1).alias("one"))
-                .agg(
-                    F.count_distinct(F.col("one")).alias("_"),
-                    F.count(F.when(F.col("s.kind") == "media", 1)).alias("n_images"),
-                    F.sum(
-                        F.when(
-                            F.col("s.kind") == "media",
-                            F.size(F.split(F.col("s.text"), " ")),
-                        ).otherwise(0)
-                    ).alias("n_tokens"),
-                )
-                .collect()[0]
+            # lineage metrics ride the write job itself (df.observe): one pass,
+            # no post-write re-read of the output parquet (at 10^12 docs the
+            # re-read would double the write-path I/O)
+            obs = Observation(f"part-{part}-{run_id}")
+            media_per_doc = F.size(
+                F.filter("spans", lambda s: s["kind"] == F.lit("media"))
             )
-            n_docs = (
-                spark.read.parquet(out_docs).filter(F.col("part") == part).count()
+            tokens_per_doc = F.aggregate(
+                "spans",
+                F.lit(0),
+                lambda acc, s: acc
+                + F.when(
+                    s["kind"] == F.lit("media"), F.size(F.split(s["text"], " "))
+                ).otherwise(0),
             )
+            observed = result.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(media_per_doc).alias("n_images"),
+                F.sum(tokens_per_doc).alias("n_tokens"),
+            )
+            observed.write.mode("overwrite").partitionBy("part").parquet(out_docs)
+            stats = obs.get
             _append_checkpoint(
+                spark,
                 out_dir,
                 {
                     "part": int(part),
                     "status": "done",
-                    "n_docs": int(n_docs),
+                    "n_docs": int(stats["n_docs"] or 0),
                     "n_images": int(stats["n_images"] or 0),
                     "n_tokens": int(stats["n_tokens"] or 0),
                     "wall_s": round(time.time() - t0, 3),

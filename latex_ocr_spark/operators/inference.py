@@ -36,14 +36,20 @@ from ..kernels.encoder import encode
 from ..kernels.text_ops import decode_ids_to_latex
 
 PREP_SCHEMA = (
-    "doc_id string, `offset` int, media_ref string, "
+    "doc_id string, part int, `offset` int, media_ref string, "
     "bucket_w int, bucket_h int, salt int, ch int, cw int, canvas binary"
 )
-DECODED_SCHEMA = "doc_id string, `offset` int, media_ref string, latex string, n_tokens int"
+DECODED_SCHEMA = (
+    "doc_id string, part int, `offset` int, media_ref string, "
+    "latex string, n_tokens int"
+)
 
 
 def preprocess_spans(media_joined: DataFrame, pipe: PipelineConfig) -> DataFrame:
-    """(doc_id, offset, media_ref, image) → prepro'd canvases + bucket keys."""
+    """(doc_id, part, offset, media_ref, image) → prepro'd canvases + bucket
+    keys. ``part`` (the source identity-partition) is carried through the UDF
+    so downstream sinks never re-derive it from the doc_id string — any
+    DOCS_SCHEMA-conforming corpus keeps its own partition assignment."""
     buckets = list(pipe.buckets)
     n_salt = pipe.salt_buckets
 
@@ -52,14 +58,16 @@ def preprocess_spans(media_joined: DataFrame, pipe: PipelineConfig) -> DataFrame
 
         for pdf in batches:
             out = {k: [] for k in (
-                "doc_id", "offset", "media_ref", "bucket_w", "bucket_h",
+                "doc_id", "part", "offset", "media_ref", "bucket_w", "bucket_h",
                 "salt", "ch", "cw", "canvas")}
-            for doc_id, offset, ref, png in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+            for doc_id, part, offset, ref, png in zip(
+                pdf["doc_id"], pdf["part"], pdf["offset"], pdf["media_ref"],
+                pdf["image"],
             ):
                 rgb = decode_png(bytes(png))
                 canvas, bw, bh, _ok = image_ops.preprocess(rgb, buckets=buckets)
                 out["doc_id"].append(doc_id)
+                out["part"].append(int(part))
                 out["offset"].append(int(offset))
                 out["media_ref"].append(ref)
                 out["bucket_w"].append(int(bw))
@@ -89,7 +97,9 @@ def decode_groups(
 
         mcfg = ModelConfig.from_dict(cfg_dict)
         dec = AttentionDecoder(weights_bc.value, mcfg, ID_END)
-        rows_doc, rows_off, rows_ref, rows_tex, rows_n = [], [], [], [], []
+        rows_doc, rows_part, rows_off, rows_ref, rows_tex, rows_n = (
+            [], [], [], [], [], []
+        )
         # within a (bucket, salt) group all canvases share a shape, except the
         # no-bucket-fits fallback group (bucket = padded size, one shape per
         # size anyway since bucket_w/bucket_h ARE the canvas dims pre-downsample)
@@ -106,18 +116,20 @@ def decode_groups(
                 else:
                     out_ids = dec.greedy_decode(enc)
                 sub = grp.iloc[s : s + n_per_batch]
-                for row_ids, doc_id, offset, ref in zip(
-                    out_ids, sub["doc_id"], sub["offset"], sub["media_ref"]
+                for row_ids, doc_id, part, offset, ref in zip(
+                    out_ids, sub["doc_id"], sub["part"], sub["offset"],
+                    sub["media_ref"],
                 ):
                     latex = decode_ids_to_latex(row_ids, ID_END, ID_TO_TOK)
                     rows_doc.append(doc_id)
+                    rows_part.append(int(part))
                     rows_off.append(int(offset))
                     rows_ref.append(ref)
                     rows_tex.append(latex)
                     rows_n.append(len(latex.split(" ")) if latex else 0)
         return pd.DataFrame(
-            {"doc_id": rows_doc, "offset": rows_off, "media_ref": rows_ref,
-             "latex": rows_tex, "n_tokens": rows_n}
+            {"doc_id": rows_doc, "part": rows_part, "offset": rows_off,
+             "media_ref": rows_ref, "latex": rows_tex, "n_tokens": rows_n}
         )
 
     # Explicit partition count: the canvases are mostly-white uint8 and
@@ -156,8 +168,8 @@ def decode_groups(
                 yield infer(pdf)
             else:
                 yield pd.DataFrame(
-                    {"doc_id": [], "offset": [], "media_ref": [], "latex": [],
-                     "n_tokens": []}
+                    {"doc_id": [], "part": [], "offset": [], "media_ref": [],
+                     "latex": [], "n_tokens": []}
                 )
 
     # oversized rows are rare (no-bucket-fits fallback): one partition per

@@ -76,16 +76,13 @@ def extract_spans(
     # splits the (small) spans scan produced
     n_prepro = max(2 * spark.sparkContext.defaultParallelism, 8)
     prepped = preprocess_spans(
-        joined.select("doc_id", "offset", "media_ref", "image").repartition(n_prepro),
+        joined.select("doc_id", "part", "offset", "media_ref", "image")
+        .repartition(n_prepro),
         pipe,
     )
+    # part rides through both UDF schemas, so any corpus's own partition
+    # assignment is preserved (never re-derived from the doc_id string)
     decoded = decode_groups(prepped, weights_bc, cfg, pipe)
-
-    # re-attach part (derivable from doc_id; avoids carrying it through the UDFs)
-    decoded = decoded.withColumn(
-        "part",
-        (F.substring("doc_id", 5, 100).cast("long") % pipe.n_parts).cast("int"),
-    )
     media_out = decoded.select(
         "doc_id",
         "part",

@@ -20,6 +20,8 @@ def _load_ckpt(out_dir):
     path = os.path.join(out_dir, "_checkpoint")
     rows = []
     for f in os.listdir(path):
+        if f.startswith(".") or not f.endswith(".json"):
+            continue
         with open(os.path.join(path, f)) as fh:
             rows.append(json.loads(fh.read()))
     return rows
