@@ -137,6 +137,22 @@ sim AS (SELECT doc_id, ({simsum}) AS simhash FROM votes)
 
 _SIMHASH_CTE = _simhash_cte()
 
+_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness gate sf
+
+
+def _oracle_decodes_sf001() -> str:
+    """Absolute path of the materialized single-process oracle decodes for the
+    correctness-gate scale factor; ensured lazily (pure python, no Spark) so
+    the DuckDB side works regardless of gate-side evaluation order."""
+    from latex_ocr_spark.fixtures.oracle_store import (
+        ensure_oracle_decodes,
+        oracle_decodes_path,
+    )
+
+    if os.path.isdir(_CORRECTNESS_SF_DIR):
+        return ensure_oracle_decodes(_CORRECTNESS_SF_DIR, profile="small")
+    return oracle_decodes_path(_CORRECTNESS_SF_DIR, profile="small")
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -456,8 +472,13 @@ def _q_extract_text_passthrough(spark, sf_dir):
 
 
 def _q_extract_media_decoded(spark, sf_dir):
-    """Flagship media half: decoded LaTeX per media span (rows-only check;
-    exactness vs the numpy oracle is proven in tests/test_pipeline_e2e.py)."""
+    """Flagship media half: decoded LaTeX per media span, hash-checked against
+    the materialized single-process numpy oracle (the north-star invariant:
+    distributed bucketed decode == reference-semantics oracle, span for span).
+    The oracle parquet is ensured here so the DuckDB side can read it."""
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_decodes
+
+    ensure_oracle_decodes(sf_dir, profile="small")
     corpus = build_corpus(spark, sf_dir)
     flat = extract_spans(spark, corpus, cfg=ModelConfig.small())
     return flat.filter(F.col("kind") == "media").select(
@@ -921,6 +942,13 @@ FROM documents
         + """
 SELECT doc_id, part, text, "offset" FROM doc_spans WHERE kind = 'text'
 """,
+        "extract_media_decoded": _CTE
+        + f"""
+SELECT s.doc_id, s."offset", s.media_ref, o.latex
+FROM doc_spans s
+JOIN read_parquet('{_oracle_decodes_sf001()}') o USING (media_ref)
+WHERE s.kind = 'media'
+""",
         "windowed_event_counts": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        strftime(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS win_end,
@@ -1043,6 +1071,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """,
         # rows-only (non-SQL-expressible): lsh_cosine_topk + ivf_cosine_topk
-        # (approximate), extract_media_decoded (model decode),
-        # bucket_histogram + media_image_features (binary image content)
+        # (approximate), bucket_histogram + media_image_features (binary
+        # image content)
     }
