@@ -445,6 +445,46 @@ def _q_main_content_extract(spark, sf_dir):
     )
 
 
+# Adversarial wrapper for the DOM path: nested same-tag boilerplate
+# (<header> in <header> — the non-greedy regex leaks ' header tail'), an
+# unclosed <aside> (no close tag anywhere — regex can't match it at all), and
+# a pure link-farm <div> (regex keeps 'Home About Contact'; the DOM
+# link-density heuristic drops it). The DOM walk must recover exactly the
+# document text.
+_DOM_WRAP_PREFIX = (
+    '<html><head><title>Doc</title>'
+    '<script>if (1 < 2) { document.write("</div>"); }</script></head><body>'
+    "<nav>Menu <header>Inner nested</header> trailing nav text</nav>"
+    "<header>Outer <header>deep</header> header tail</header>"
+    '<div class="menu"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div>'
+    "<div><aside>Unclosed ad text</div><article><p>"
+)
+_DOM_WRAP_SUFFIX = "</p></article><footer>(c) 2026 Example</footer></body></html>"
+
+
+def _q_main_content_extract_dom(spark, sf_dir):
+    """North-rule DOM heuristics: wrap each document in markup the regex fast
+    path provably mangles, extract with the tolerant DOM walk, verify exact
+    recovery of the original text (oracle derives the expected output from
+    the documents table directly)."""
+    from latex_ocr_spark.operators.text_analysis import extract_main_content_dom
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit(_DOM_WRAP_PREFIX), F.col("text"), F.lit(_DOM_WRAP_SUFFIX)
+        ).alias("html"),
+    )
+    out = extract_main_content_dom(docs, "html")
+    return out.select(
+        "doc_id",
+        "main_text",
+        (F.col("main_text") == F.col("text")).cast("int").alias("matches"),
+    )
+
+
 def _q_token_count(spark, sf_dir):
     return TA.token_count(_documents(spark, sf_dir))
 
@@ -631,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "bleu_score": _q_bleu_score,
         "main_content_extract": _q_main_content_extract,
+        "main_content_extract_dom": _q_main_content_extract_dom,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
@@ -896,6 +937,13 @@ stripped AS (
 SELECT doc_id, main_text,
        CAST(CASE WHEN main_text = text THEN 1 ELSE 0 END AS INT) AS matches
 FROM stripped
+""",
+        "main_content_extract_dom": r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
+       CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = text
+            THEN 1 ELSE 0 END AS INT) AS matches
+FROM documents
 """,
         "token_count": """
 SELECT doc_id,

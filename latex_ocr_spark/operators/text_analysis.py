@@ -112,9 +112,10 @@ def strip_boilerplate(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Main-content extraction from an HTML column: drop script/style/nav/
     header/footer/aside blocks wholesale, strip remaining tags, collapse
     whitespace. Pure regexp_replace chain (JVM codegen, no UDF); the DuckDB
-    oracle replays the identical regex pipeline. A DOM parser would live in a
-    mapInPandas stage; the regex path is the shuffle-free fast path for the
-    overwhelmingly common flat-markup case."""
+    oracle replays the identical regex pipeline. This is the shuffle-free fast
+    path for the overwhelmingly common flat-markup case; nested/malformed
+    markup and link-farm blocks go to extract_main_content_dom (the
+    mapInPandas DOM-heuristic path)."""
     col = F.col(html_col)
     for tag in BOILERPLATE_BLOCKS:
         col = F.regexp_replace(col, rf"(?i)<{tag}\b[^>]*>[\s\S]*?</{tag}>", " ")
@@ -122,6 +123,121 @@ def strip_boilerplate(df: DataFrame, html_col: str = "html") -> DataFrame:
     col = F.regexp_replace(col, r"\s+", " ")              # collapse runs
     col = F.trim(col)
     return df.withColumn("main_text", col)
+
+
+# tags whose subtree (text and all) is boilerplate for the DOM path
+_DOM_BOILERPLATE = frozenset(
+    BOILERPLATE_BLOCKS + ["template", "noscript", "iframe"]
+)
+# void elements never go on the open-tag stack (no matching close tag)
+_VOID = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+# block-level boundaries: flushing at these lets the link-density heuristic
+# judge one visual block at a time (readability/boilerpipe-style)
+_BLOCK = frozenset(
+    "p div section article main li ul ol table tr td th blockquote pre "
+    "h1 h2 h3 h4 h5 h6 figure figcaption body dl dt dd".split()
+)
+_MAX_LINK_DENSITY = 0.5
+
+
+def dom_main_text(html: str) -> str:
+    """Main-content text of one HTML document via a tolerant DOM walk
+    (stdlib html.parser — no external deps):
+
+      - boilerplate subtrees (nav/header/footer/aside/script/style/…) are
+        dropped with an open-tag STACK, so nesting (<header> inside <nav>),
+        repeated same-tag nesting, and unclosed tags (popped when an ancestor
+        closes) are all handled — the cases that defeat the non-greedy regex
+        fast path in strip_boilerplate;
+      - each block-level chunk is kept only if its link density (chars inside
+        <a> / total chars) is ≤ 0.5, dropping link-farm lists the regex path
+        would keep;
+      - output is whitespace-collapsed, space-joined block text.
+
+    Driver-side testable; the Spark operator maps it over Arrow batches.
+    """
+    from html.parser import HTMLParser
+
+    class _P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.stack: list[str] = []
+            self.boiler = 0
+            self.link = 0
+            self.cur: list[tuple[str, bool]] = []
+            self.blocks: list[str] = []
+
+        def _flush(self):
+            total = sum(len(t.strip()) for t, _ in self.cur)
+            if total:
+                linked = sum(len(t.strip()) for t, is_l in self.cur if is_l)
+                if linked / total <= _MAX_LINK_DENSITY:
+                    text = " ".join(" ".join(t.split()) for t, _ in self.cur if t.strip())
+                    self.blocks.append(text)
+            self.cur = []
+
+        def _push(self, tag):
+            self.stack.append(tag)
+            if tag in _DOM_BOILERPLATE:
+                self.boiler += 1
+            if tag == "a":
+                self.link += 1
+
+        def _pop_one(self):
+            tag = self.stack.pop()
+            if tag in _DOM_BOILERPLATE:
+                self.boiler -= 1
+            if tag == "a":
+                self.link -= 1
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _VOID:
+                return
+            if tag in _BLOCK and self.boiler == 0:
+                self._flush()
+            self._push(tag)
+
+        def handle_startendtag(self, tag, attrs):
+            pass  # self-closing: no stack entry, no text
+
+        def handle_endtag(self, tag):
+            if tag in _VOID or tag not in self.stack:
+                return  # stray close tag: tolerate
+            if tag in _BLOCK and self.boiler == 0:
+                self._flush()
+            while self.stack and self.stack[-1] != tag:
+                self._pop_one()  # unclosed children die with their ancestor
+            if self.stack:
+                self._pop_one()
+
+        def handle_data(self, data):
+            if self.boiler == 0 and data.strip():
+                self.cur.append((data, self.link > 0))
+
+    p = _P()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return " ".join(b for b in p.blocks if b)
+
+
+def extract_main_content_dom(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """DOM-heuristic main-content extraction (north rule's 'DOM heuristics'):
+    ``dom_main_text`` over Arrow batches via mapInPandas — the robust path for
+    nested/malformed markup, complementing the regex fast path
+    (strip_boilerplate). Output schema = input columns + main_text."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, main_text string"
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["main_text"] = [dom_main_text(h) for h in pdf[html_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def fingerprint(corpus: DataFrame) -> DataFrame:

@@ -126,6 +126,39 @@ def test_lsh_topk_recall_against_exact(spark, embeddings):
     assert recall >= 0.6, f"SRP-LSH recall too low: {recall}"
 
 
+def test_dom_extraction_beats_regex_on_nested_and_malformed_markup(spark):
+    """Cases the regex fast path provably fails: nested same-tag boilerplate
+    leaks trailing text, an unclosed <aside> is never matched, and a link-farm
+    div survives tag-stripping. The DOM walk recovers exactly the content."""
+    content = "real content survives the walk"
+    html = (
+        "<html><body>"
+        "<header>Outer <header>deep</header> header tail</header>"
+        '<div><a href="/">Home</a> <a href="/b">About</a></div>'
+        "<div><aside>Unclosed ad text</div>"
+        f"<article><p>{content}</p></article>"
+        "<footer>fine print</footer></body></html>"
+    )
+    assert TA.dom_main_text(html) == content
+
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    regex_out = TA.strip_boilerplate(df, "html").collect()[0].main_text
+    assert "header tail" in regex_out, "regex should leak nested-header tail"
+    assert "Unclosed ad text" in regex_out, "regex can't drop unclosed aside"
+    assert "Home" in regex_out, "regex keeps the link farm"
+
+    dom_out = TA.extract_main_content_dom(df, "html").collect()[0].main_text
+    assert dom_out == content
+
+
+def test_dom_extraction_script_cdata_and_stray_close_tags(spark):
+    html = (
+        '<body><script>if (1 < 2) { document.write("</div>"); }</script>'
+        "</span><p>kept text</p></body>"
+    )
+    assert TA.dom_main_text(html) == "kept text"
+
+
 def test_token_count_and_quality(spark):
     docs = spark.createDataFrame(
         [(1, "the cat sat on the mat."), (2, "a b")], ["doc_id", "text"]
