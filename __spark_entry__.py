@@ -1005,6 +1005,9 @@ SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w
        CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2, 3
 """,
+        # '>' (strict): Spark session_window MERGES an event arriving exactly
+        # gap after the previous one (closed boundary — verified empirically,
+        # pinned by tests/test_streaming.py::test_sessionize_exact_gap_merges)
         "sessionize": """
 WITH gapped AS (
   SELECT user_id, ts, value,

@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--profile", default="reference",
                     choices=["reference", "bench", "small"])
     ap.add_argument("--decoding", default=None, choices=["greedy", "beam_search"])
+    ap.add_argument("--format", default=None, choices=["parquet", "iceberg"],
+                    help="corpus table format (default: parquet, or "
+                         "LATEX_OCR_TABLE_FORMAT)")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the checkpoint table and reprocess everything")
     ap.add_argument("--local", action="store_true",
@@ -57,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+
+    if args.format:
+        from latex_ocr_spark.sources import TABLE_FORMAT_ENV
+
+        # read sites (read_docs/read_media) pick the format up from the env,
+        # so it needs no plumbing through run_with_checkpoint
+        os.environ[TABLE_FORMAT_ENV] = args.format
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(

@@ -47,29 +47,30 @@ def broadcast_weights(spark: SparkSession, cfg: ModelConfig):
     return spark.sparkContext.broadcast(init_weights(cfg, N_TOK))
 
 
-def extract_spans(
+def extract_spans_from_docs(
     spark: SparkSession,
-    corpus_dir: str,
+    docs: DataFrame,
+    media_tbl: DataFrame,
     cfg: ModelConfig | None = None,
     pipe: PipelineConfig | None = None,
-    parts: list[int] | None = None,
     weights_bc=None,
 ) -> DataFrame:
-    """Flat extraction result: one row per span with media spans' text rewritten
-    to the decoded LaTeX. Columns: doc_id, part, kind, text, media_ref, offset."""
+    """Core extraction over an in-hand docs DataFrame (batch scan OR a
+    streaming micro-batch inside foreachBatch — streaming.extraction_sink):
+    one row per span with media spans' text rewritten to the decoded LaTeX.
+    Columns: doc_id, part, kind, text, media_ref, offset."""
     cfg = cfg or ModelConfig.small()
     pipe = pipe or PipelineConfig()
     if weights_bc is None:
         weights_bc = broadcast_weights(spark, cfg)
 
-    spans = explode_spans(read_docs(spark, corpus_dir, parts=parts))
+    spans = explode_spans(docs)
     text_spans = spans.filter(F.col("kind") == "text")
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "part", "offset", "media_ref"
     )
 
-    media_tbl = read_media(spark, corpus_dir).select("media_ref", "image")
-    joined = media_spans.join(media_tbl, "media_ref")
+    joined = media_spans.join(media_tbl.select("media_ref", "image"), "media_ref")
 
     # spread the decode+prepro UDF across the cluster: the broadcast join is
     # narrow, so without this the mapInPandas inherits however few input
@@ -92,6 +93,25 @@ def extract_spans(
         "offset",
     )
     return text_spans.unionByName(media_out)
+
+
+def extract_spans(
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+    parts: list[int] | None = None,
+    weights_bc=None,
+) -> DataFrame:
+    """extract_spans_from_docs over a (partition-pruned) corpus-dir scan."""
+    return extract_spans_from_docs(
+        spark,
+        read_docs(spark, corpus_dir, parts=parts),
+        read_media(spark, corpus_dir),
+        cfg=cfg,
+        pipe=pipe,
+        weights_bc=weights_bc,
+    )
 
 
 def extract_documents(

@@ -1,10 +1,15 @@
 """Sources & sinks: schema-enforced reads of the corpus tables.
 
 Replaces the reference's convention-only file formats (SURVEY.md §2.1 S1-S4)
-with explicit StructType schemas and fail-fast validation. Tables are Iceberg
-when the runtime has the connector on the classpath, else plain parquet with
-identical schemas (SURVEY.md §7 'Stack' — the container ships no Iceberg jar,
-so parquet is the tested path; partition layout and pruning semantics match).
+with explicit StructType schemas and fail-fast validation. Table format is
+switchable (SURVEY.md §7 'Stack'): ``--format iceberg`` (or
+LATEX_OCR_TABLE_FORMAT=iceberg) routes reads through the Iceberg DSv2
+connector — identical schemas, identity partitioning on ``part``, and the
+``parts`` filter becomes Iceberg partition pruning; the default is plain
+parquet with directory-level pruning. The container ships no Iceberg jar, so
+the iceberg path fail-fasts with a clear error here and parquet is the tested
+path; the read-site abstraction (``read_docs``/``read_media``) is the single
+place a deployment flips.
 """
 
 from __future__ import annotations
@@ -105,15 +110,58 @@ def build_corpus(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -
     return out_dir
 
 
-def read_docs(spark: SparkSession, out_dir: str, parts: list[int] | None = None) -> DataFrame:
+TABLE_FORMAT_ENV = "LATEX_OCR_TABLE_FORMAT"
+
+
+def table_format(fmt: str | None = None) -> str:
+    fmt = fmt or os.environ.get(TABLE_FORMAT_ENV, "parquet")
+    if fmt not in ("parquet", "iceberg"):
+        raise ValueError(f"unknown table format {fmt!r} (parquet|iceberg)")
+    return fmt
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    """Fail fast with an actionable message when the Iceberg Spark runtime is
+    not on the classpath (this container never ships it)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+    except Exception as ex:  # py4j wraps ClassNotFoundException
+        raise RuntimeError(
+            "table format 'iceberg' requires iceberg-spark-runtime on the "
+            "classpath (spark-submit --packages org.apache.iceberg:"
+            "iceberg-spark-runtime-3.5_2.13:<version>); falling back is "
+            "deliberate-only: rerun with --format parquet"
+        ) from ex
+
+
+def _read_table(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str | None
+) -> DataFrame:
+    if table_format(fmt) == "iceberg":
+        _require_iceberg(spark)
+        # Iceberg tables carry their own schema + identity partition spec;
+        # `path` is a table identifier or metadata location
+        return spark.read.format("iceberg").load(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_docs(
+    spark: SparkSession,
+    out_dir: str,
+    parts: list[int] | None = None,
+    fmt: str | None = None,
+) -> DataFrame:
     """Docs scan with explicit partition pruning (north rule). ``parts=None``
-    reads all partitions; the filter is a directory-level prune, check
-    ``.explain`` → PartitionFilters."""
-    df = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(out_dir, "docs"))
+    reads all partitions; the filter is a directory-level prune on parquet and
+    an identity-partition prune on Iceberg — check ``.explain`` →
+    PartitionFilters."""
+    df = _read_table(spark, os.path.join(out_dir, "docs"), DOCS_SCHEMA, fmt)
     if parts is not None:
         df = df.filter(F.col("part").isin(parts))
     return df
 
 
-def read_media(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.schema(MEDIA_SCHEMA).parquet(os.path.join(out_dir, "media"))
+def read_media(spark: SparkSession, out_dir: str, fmt: str | None = None) -> DataFrame:
+    return _read_table(spark, os.path.join(out_dir, "media"), MEDIA_SCHEMA, fmt)

@@ -57,7 +57,13 @@ def windowed_event_counts(
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Session windows per user (built-in session_window; gap-based)."""
+    """Session windows per user (built-in session_window; gap-based).
+
+    Boundary semantics (verified empirically on Spark 4.1.2 and pinned by
+    tests/test_streaming.py::test_sessionize_exact_gap_merges, mirrored by the
+    DuckDB oracle's strict '>'): an event arriving EXACTLY ``gap`` after the
+    previous one MERGES into the same session (closed gap boundary); only a
+    strictly larger silence starts a new session."""
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
@@ -98,6 +104,73 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def stream_docs(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """File-source stream over the corpus docs table: newly landed parquet
+    files under docs/ become micro-batches (the streaming-ingestion front end
+    of the extraction service)."""
+    from .sources import DOCS_SCHEMA
+
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .load(corpus_dir.rstrip("/") + "/docs")
+    )
+
+
+def extraction_sink(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    cfg=None,
+    pipe=None,
+):
+    """foreachBatch extraction sink: every micro-batch of newly-discovered
+    docs runs the SAME batch inference path (pipeline.extract_spans_from_docs
+    — bucketed pandas-UDF decode, broadcast weights) and lands in
+    out_dir/docs with dynamic partition overwrite, so a replayed micro-batch
+    (restart between sink write and offset commit) rewrites its partitions
+    byte-identically — exactly-once output on top of the stream checkpoint's
+    at-least-once replay. Media lookup is the static side of the join.
+
+    Runs with trigger(availableNow): drains everything currently in the
+    source then stops — call .awaitTermination() on the returned query.
+    """
+    from .config import ModelConfig, PipelineConfig
+    from .operators.reassemble import reassemble
+    from .pipeline import broadcast_weights, extract_spans_from_docs
+    from .sources import read_media
+
+    cfg = cfg or ModelConfig.small()
+    pipe = pipe or PipelineConfig()
+    weights_bc = broadcast_weights(spark, cfg)
+    media_tbl = read_media(spark, corpus_dir)
+    out_docs = out_dir.rstrip("/") + "/docs"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            flat = extract_spans_from_docs(
+                sess, batch_df, media_tbl, cfg=cfg, pipe=pipe, weights_bc=weights_bc
+            )
+            reassemble(flat).write.mode("overwrite").partitionBy("part").parquet(
+                out_docs
+            )
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_docs(spark, corpus_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", out_dir.rstrip("/") + "/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -54,3 +54,18 @@ def test_predict_single_matches_oracle():
     assert predict_single(encode_png(img), cfg) == oracle_decode_images(
         [img], Model(cfg)
     )[0]
+
+
+def test_table_format_switch(spark, corpus):
+    """parquet default reads; iceberg fail-fasts with an actionable error in
+    this connector-less container; unknown formats rejected."""
+    import pytest
+
+    from latex_ocr_spark.sources import read_docs, table_format
+
+    assert table_format() == "parquet"
+    assert read_docs(spark, corpus, fmt="parquet").count() > 0
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_docs(spark, corpus, fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown table format"):
+        read_docs(spark, corpus, fmt="orc")

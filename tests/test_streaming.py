@@ -99,3 +99,58 @@ def test_sessionize_smoke(spark):
     for r in out[:50]:
         assert r.sess_end >= r.sess_start
         assert r.n_events >= 1
+
+
+def test_sessionize_exact_gap_merges(spark):
+    """Pin the session boundary the DuckDB oracle mirrors with strict '>':
+    an event EXACTLY gap after the previous one merges into the same session;
+    one second beyond the gap starts a new one."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=30), 2.0),  # exact gap → merge
+        (2, base, 1.0),
+        (2, base + dt.timedelta(minutes=30, seconds=1), 2.0),  # beyond → split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    by_user = {}
+    for r in sessionize(df).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0].n_events == 2
+    assert len(by_user[2]) == 2
+
+
+def test_foreachbatch_extraction_sink_equals_batch(spark, corpus, tmp_path_factory):
+    """The streaming extraction sink must produce byte-identical spans to the
+    batch pipeline, and a second availableNow run must be a checkpointed no-op
+    (no new files → no rewrite)."""
+    import os
+
+    from latex_ocr_spark.config import ModelConfig
+    from latex_ocr_spark.pipeline import extract_documents
+    from latex_ocr_spark.streaming import extraction_sink
+
+    out = str(tmp_path_factory.mktemp("stream_extract"))
+    cfg = ModelConfig.small()
+    q = extraction_sink(spark, corpus, out, cfg=cfg)
+    q.awaitTermination()
+
+    flat = lambda df: df.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref", "s.offset")
+    got = flat(spark.read.parquet(os.path.join(out, "docs")))
+    want = flat(extract_documents(spark, corpus, cfg=cfg))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, "docs", p))
+        for p in os.listdir(os.path.join(out, "docs"))
+        if p.startswith("part=")
+    }
+    q2 = extraction_sink(spark, corpus, out, cfg=cfg)
+    q2.awaitTermination()
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "docs", p)) == m
