@@ -125,6 +125,15 @@ def test_lsh_topk_recall_against_exact(spark, embeddings):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"SRP-LSH recall too low: {recall}"
 
+    # scale contract: at n_planes=8 + 1-bit multi-probe the candidate volume
+    # must stay well under brute force (old n_planes=4 setup scored ~0.75×
+    # brute force; the point of more planes is corpus-scale bucket headroom)
+    n_corpus = embeddings.count()
+    n_cands = S.srp_topk_candidates(embeddings, n_queries=20).count()
+    ratio = n_cands / (20 * (n_corpus - 1))
+    print(f"\nSRP-LSH candidates/brute-force ratio: {ratio:.3f} ({n_cands} cands)")
+    assert ratio < 0.6, f"candidate set too large: {ratio:.3f}"
+
 
 def test_dom_extraction_beats_regex_on_nested_and_malformed_markup(spark):
     """Cases the regex fast path provably fails: nested same-tag boilerplate
