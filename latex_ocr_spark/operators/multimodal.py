@@ -55,6 +55,26 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def rasterize_pdf(pdf_bytes: bytes) -> np.ndarray:
+    """PDF → RGB raster, predict.py input parity
+    (/root/reference/predict.py:32-47 shells out to `magick convert` at
+    density 200). STUB per the codec-stub policy: no rasterizer library ships
+    in this container, so only PDFs carrying an embedded PNG image XObject are
+    handled (pure-python scan for the PNG magic..IEND span — exactly what the
+    fixture writer emits); anything else raises NotImplementedError where a
+    real deployment plugs in pdfium/magick."""
+    if not pdf_bytes.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    start = pdf_bytes.find(b"\x89PNG\r\n\x1a\n")
+    end = pdf_bytes.find(b"IEND", start)
+    if start == -1 or end == -1:
+        raise NotImplementedError(
+            "PDF rasterization requires pdfium/magick; this stub handles only "
+            "PDFs with an embedded PNG image XObject"
+        )
+    return decode_png(pdf_bytes[start : end + 8])  # IEND + length/type/CRC
+
+
 # --------------------------------------------------------------------------
 # audio / video: schema-correct plumbing, stubbed decode kernels
 # --------------------------------------------------------------------------

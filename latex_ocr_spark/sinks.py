@@ -71,11 +71,20 @@ def write_answers(pairs: DataFrame, out_dir: str) -> None:
 
 
 def predict_single(image_bytes: bytes, cfg=None) -> str:
-    """predict.py parity (/root/reference/predict.py:13-54): one image in,
-    decoded LaTeX out, same kernels as the distributed path."""
+    """predict.py parity (/root/reference/predict.py:13-54): one image OR PDF
+    in (magic-byte dispatch, like the reference's extension dispatch at
+    predict.py:28-47), decoded LaTeX out, same kernels as the distributed
+    path. PDFs go through the pure-python rasterizer stub
+    (operators/multimodal.rasterize_pdf)."""
     from .config import ModelConfig
     from .fixtures.png import decode_png
     from .kernels.oracle import Model, oracle_decode_images
 
     cfg = cfg or ModelConfig.small()
-    return oracle_decode_images([decode_png(image_bytes)], Model(cfg))[0]
+    if image_bytes[:4] == b"%PDF":
+        from .operators.multimodal import rasterize_pdf
+
+        rgb = rasterize_pdf(image_bytes)
+    else:
+        rgb = decode_png(image_bytes)
+    return oracle_decode_images([rgb], Model(cfg))[0]

@@ -69,3 +69,26 @@ def test_table_format_switch(spark, corpus):
         read_docs(spark, corpus, fmt="iceberg")
     with pytest.raises(ValueError, match="unknown table format"):
         read_docs(spark, corpus, fmt="orc")
+
+
+def _fixture_pdf_with_png(png: bytes) -> bytes:
+    """Minimal single-page PDF embedding a PNG image XObject — the shape the
+    rasterizer stub handles (the reference accepts .pdf via magick)."""
+    return (
+        b"%PDF-1.4\n1 0 obj<</Type/XObject/Subtype/Image/Filter/PNGRaw>>stream\n"
+        + png
+        + b"\nendstream endobj\ntrailer<<>>\n%%EOF\n"
+    )
+
+
+def test_predict_single_pdf_parity():
+    """predict.py PDF-input parity: PDF bytes wrapping a PNG must decode to
+    the same LaTeX as the PNG itself; non-image PDFs hit the stub's
+    NotImplementedError."""
+    import pytest
+
+    cfg = ModelConfig.small()
+    png = encode_png(render_formula("a + b", 2))
+    assert predict_single(_fixture_pdf_with_png(png), cfg) == predict_single(png, cfg)
+    with pytest.raises(NotImplementedError, match="pdfium|magick"):
+        predict_single(b"%PDF-1.4\nno image here\n%%EOF", cfg)
