@@ -131,23 +131,32 @@ class AttentionDecoder:
     def greedy_decode(self, enc: np.ndarray) -> np.ndarray:
         """enc: (N,H,W,C) encoder output → int32 ids (N,T), T ≤ max_len+1.
 
-        Positions after a row finishes keep emitting (like the reference's
-        TensorArray — rows are truncated at the first END downstream, F5).
-        """
+        Finished rows are COMPACTED out of the active batch each step (the
+        reference lets them keep emitting into the TensorArray,
+        dynamic_decode.py:17-75; rows are truncated at the first END
+        downstream either way — F5 — so padding finished rows with END here is
+        output-equivalent and saves the per-step attention/LSTM cost of rows
+        that ended early: mean formula length is ~6 tokens vs the 49-step cap,
+        so the active batch shrinks fast)."""
         img = flatten_regions(enc)
         n = img.shape[0]
         att_img = self.precompute(img)
-        state = self.initial_state(img)
+        c, h, o = self.initial_state(img)
         emb = np.tile(self.w["start_token"][None, :], (n, 1))
-        finished = np.zeros(n, dtype=bool)
         max_iter = self.cfg.max_length_formula + 1
-        out_ids = []
+        out = np.full((n, max_iter), self.id_end, dtype=np.int32)
+        active = np.arange(n)
         t = 0
-        while not finished.all() and t < max_iter:
-            logits, state = self.cell_step(emb, state, img, att_img)
+        while active.size and t < max_iter:
+            logits, (c, h, o) = self.cell_step(emb, (c, h, o), img, att_img)
             ids = logits.argmax(axis=-1).astype(np.int32)
-            out_ids.append(ids)
-            emb = self.w["embedding_table"][ids]
-            finished |= ids == self.id_end
+            out[active, t] = ids
             t += 1
-        return np.stack(out_ids, axis=1) if out_ids else np.zeros((n, 0), np.int32)
+            alive = ids != self.id_end
+            if not alive.all():
+                active = active[alive]
+                img, att_img = img[alive], att_img[alive]
+                c, h, o = c[alive], h[alive], o[alive]
+                ids = ids[alive]
+            emb = self.w["embedding_table"][ids]
+        return out[:, :t]

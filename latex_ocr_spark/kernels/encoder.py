@@ -50,12 +50,18 @@ def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
     )
 
 
-# Max float32 elements the materialized im2col buffer may hold (~8 MB).
-# Keeping it small is load-bearing for multi-worker throughput: 50–400 MB
-# buffers (big batches × wide channels, or one oversized fallback image) are
-# mmap-allocated per call, and the page-zero/munmap churn serializes 32
-# concurrent python workers (measured 5× total-CPU inflation at local[32]).
-_IM2COL_MAX_ELEMS = 250_000
+# Max float32 elements the materialized im2col buffer may hold (8 MB).
+# Two failure modes bound this from both sides (measured, single-process and
+# 32-concurrent sweeps):
+#   - too LARGE (≥ ~32 MB): buffers exceed glibc's dynamic mmap-threshold cap,
+#     every conv call pays mmap/page-zero/munmap, and the churn serializes 32
+#     concurrent python workers (5× total-CPU inflation at local[32]);
+#   - too SMALL (the old 250k/1 MB): mid-size layers (oh·ow·k²·cin ≈ 0.3–1 M
+#     elements per image at bench dims) drop to the per-image ROW-SLAB path —
+#     many tiny GEMMs, 18–22% slower encode single-process.
+# 2M elements keeps every typical layer on the batched path with buffers that
+# glibc's adaptive threshold serves from the reused heap arena.
+_IM2COL_MAX_ELEMS = 2_000_000
 
 
 def conv2d(
@@ -89,7 +95,9 @@ def conv2d(
             win = _windows(x[s : s + step], kh, kw, 1, 1)
             m = win.shape[0]
             flat = win.reshape(m * oh * ow, kh * kw * cin)
-            out[s : s + step] = (flat @ wflat).reshape(m, oh, ow, cout)
+            o = out[s : s + step]
+            o[...] = (flat @ wflat).reshape(m, oh, ow, cout)
+            o += b  # bias while the slab is cache-hot (vs one extra full pass)
     else:
         # one image's windows exceed the budget (oversized fallback bucket):
         # slab over output rows instead
@@ -100,8 +108,9 @@ def conv2d(
                 rr = min(row_step, oh - r)
                 win = _windows(xi[:, r : r + rr + kh - 1], kh, kw, 1, 1)
                 flat = win.reshape(rr * ow, kh * kw * cin)
-                out[i, r : r + rr] = (flat @ wflat).reshape(rr, ow, cout)
-    out += b
+                o = out[i, r : r + rr]
+                o[...] = (flat @ wflat).reshape(rr, ow, cout)
+                o += b
     return out
 
 
