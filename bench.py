@@ -78,9 +78,23 @@ def main() -> None:
     bench("ngram_jaccard", lambda: D.jaccard_pairs(dup, threshold=0.5).count())
     bench("minhash_lsh", lambda: D.minhash_lsh_pairs(dup, threshold=0.5).count())
     bench("simhash", lambda: D.simhash_64(dup).count())
+    bench("simhash_pairs", lambda: D.simhash_pairs(dup).count())
     bench("cosine_topk", lambda: S.cosine_topk(emb, k=5, n_queries=50).count())
     bench("lsh_cosine_topk", lambda: S.lsh_cosine_topk(emb, k=5, n_queries=50).count())
     bench("token_count", lambda: TA.token_count(docs_src).count())
+    bench(
+        "main_content_dom",
+        lambda: TA.extract_main_content_dom(
+            docs_src.select(
+                "doc_id",
+                F.concat(
+                    F.lit("<html><body><nav><a href='/'>x</a></nav><article><p>"),
+                    F.col("text"),
+                    F.lit("</p></article><footer>f</footer></body></html>"),
+                ).alias("html"),
+            )
+        ).count(),
+    )
     bench("quality_score", lambda: TA.quality_score(docs_src).count())
     bench("language_id", lambda: TA.language_id(docs_src).count())
     bench("fingerprint", lambda: TA.fingerprint(docs_src).count())

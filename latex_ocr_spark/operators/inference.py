@@ -138,8 +138,18 @@ def decode_groups(
     # (observed: 2 workers for 314 groups). A user-specified count pins the
     # stage's parallelism to the cluster; groups still co-locate because the
     # hash partitioning is on exactly the grouping keys.
+    import os as _os
+
     sc = prepped.sparkSession.sparkContext
-    n_parts = max(4 * sc.defaultParallelism, 16)
+    # factor 2: ~2 decode partitions per core balances the (bucket, salt)
+    # group hash across cores while keeping task dispatch cheap — 4× cost
+    # ~1.5 s extra per run at local[32] (measured A/B, min-of-rounds) for no
+    # balance gain; AQE still can't coalesce below an explicit count.
+    n_parts = max(
+        int(float(_os.environ.get("LATEX_OCR_DECODE_FACTOR", "2"))
+            * sc.defaultParallelism),
+        16,
+    )
 
     # Oversized fallback images (no bucket fits, model/utils/image.py:115-123)
     # are singleton groups with 10-20× the decode cost of a bucketed canvas;

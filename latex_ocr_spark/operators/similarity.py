@@ -95,7 +95,8 @@ def _probe_sigs(sig, n_planes: int, probe_bits: int):
 
 def srp_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int, table: int):
     """Signed-random-projection signature as a built-in expression: bit b set
-    iff embedding · plane_b >= 0."""
+    iff embedding · plane_b >= 0. (Reference implementation — the hot paths
+    use ``srp_signatures_all``, one vectorized matmul for every table.)"""
     planes = _srp_planes(dim, n_planes, table)
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
@@ -110,6 +111,56 @@ def srp_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int, table: i
         )
         sig = sig + F.when(dot >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def srp_signatures_all(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All tables' SRP signatures in ONE Arrow-batched matmul:
+    (id, embedding) → (id, table, sig).
+
+    The expression formulation evaluates n_tables·n_planes interpreted
+    higher-order aggregates per row (≈100 lambda reductions); stacking every
+    plane into a (dim × n_tables·n_planes) matrix and letting numpy do
+    batch @ planes is the vectorized-pandas-UDF fast path the brief prescribes
+    when built-ins can't express the op efficiently. Sign boundaries
+    (dot == 0.0) keep the expression path's >= 0 convention."""
+    planes = np.concatenate(
+        [np.asarray(_srp_planes(dim, n_planes, t)) for t in range(n_tables)]
+    ).T.astype(np.float64)  # (dim, n_tables*n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit b = plane b
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(vecs) == 0:
+                yield pd.DataFrame({"_id": [], "table": [], "sig": []})
+                continue
+            bits = (vecs @ planes) >= 0.0  # (n, T*P)
+            sigs = (
+                bits.reshape(len(vecs), n_tables, n_planes).astype(np.int64)
+                @ weights
+            )  # (n, T)
+            ids = np.repeat(pdf["_id"].values, n_tables)
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(vecs)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    out = df.select(F.col(id_col).alias("_id"), vec_col).mapInPandas(
+        run, schema="_id long, table int, sig long"
+    )
+    return out.select(F.col("_id").alias(id_col), "table", "sig")
 
 
 # Planted near-duplicate embeddings: for vec_id % 20 == 0 add a copy with a
@@ -157,18 +208,7 @@ def embedding_neardup_pairs(
     MinHash path (dedup.py), with 2^8 buckets/table for corpus-scale headroom
     instead of 2^4."""
     base = emb_with_dups(embeddings)
-    table_structs = [
-        F.struct(
-            F.lit(t).alias("table"),
-            srp_signature(base, "embedding", dim, n_planes, t).alias("sig"),
-        )
-        for t in range(n_tables)
-    ]
-    sigs = (
-        base.select("vec_id", F.explode(F.array(*table_structs)).alias("ts"))
-        .select("vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
-        .persist()
-    )
+    sigs = srp_signatures_all(base, "embedding", dim, n_planes, n_tables).persist()
     a = sigs.select(
         "vec_id",
         "table",
@@ -302,20 +342,9 @@ def srp_topk_candidates(
     (signature + every ≤probe_bits flip) to hold recall. Candidate generation
     stays an equi-join on (table, sig); never a cross join."""
     base = embeddings.select("vec_id", "embedding")
-    # all tables' signatures in ONE projection + explode (linear plan, one
-    # scan), persisted because both join sides read it
-    table_structs = [
-        F.struct(
-            F.lit(t).alias("table"),
-            srp_signature(base, "embedding", dim, n_planes, t).alias("sig"),
-        )
-        for t in range(n_tables)
-    ]
-    sigs = (
-        base.select("vec_id", F.explode(F.array(*table_structs)).alias("ts"))
-        .select("vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
-        .persist()
-    )
+    # all tables' signatures in ONE vectorized matmul (linear plan, one scan),
+    # persisted because both join sides read it
+    sigs = srp_signatures_all(base, "embedding", dim, n_planes, n_tables).persist()
     q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         "table",
