@@ -159,8 +159,15 @@ def encode(
     """uint8 (N,H,W) → encoded float32 (N,H',W',C).
 
     Includes the normalize step (img-128)/128 exactly as the reference fuses it
-    into the encoder (model/encoder.py:25-27).
+    into the encoder (model/encoder.py:25-27). ``cfg.encoder_cnn`` selects the
+    variant like the reference's getModel(model_name)
+    (model/img2seq_torch.py:69-83): vanilla | cnn here, simple_cnn | resnet9 |
+    densenet in kernels/encoder_zoo.py.
     """
+    if cfg.encoder_cnn not in ("vanilla", "cnn"):
+        from .encoder_zoo import ZOO
+
+        return ZOO[cfg.encoder_cnn](batch_u8, weights, cfg)
     x = (batch_u8.astype(np.float32) - 128.0) / 128.0
     x = x[:, :, :, None]
     x = relu(conv2d(x, weights["conv0_W"], weights["conv0_b"], "SAME"))

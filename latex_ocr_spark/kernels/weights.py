@@ -73,4 +73,52 @@ def init_weights(cfg: ModelConfig, n_tok: int) -> dict[str, np.ndarray]:
     w["gru_gate_bias"] = np.ones(2 * cfg.num_units, dtype=np.float32)
     w["gru_cand_kernel"] = _glorot(rng, (lstm_in + cfg.num_units, cfg.num_units))
     w["gru_cand_bias"] = np.zeros(cfg.num_units, dtype=np.float32)
+
+    # encoder ZOO variants (model/img2seq_torch.py:69-83), drawn after
+    # everything else — same stream invariant as above. Inference batchnorm
+    # uses seeded frozen statistics (no trained checkpoint ships).
+    def _bn(name: str, ch: int) -> None:
+        w[f"{name}_gamma"] = rng.uniform(0.8, 1.2, ch).astype(np.float32)
+        w[f"{name}_beta"] = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+        w[f"{name}_mean"] = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+        w[f"{name}_var"] = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+
+    c = cfg.conv_channels
+    # simple_cnn (components/SimpleCNN.py:10-23): 5 conv+bn stages
+    scnn_ch = [c[0], c[1], c[2], c[3], c[5]]
+    prev = 1
+    for i, ch in enumerate(scnn_ch):
+        w[f"scnn{i}_W"] = _glorot(rng, (3, 3, prev, ch))
+        w[f"scnn{i}_b"] = np.zeros(ch, dtype=np.float32)
+        _bn(f"scnn_bn{i}", ch)
+        prev = ch
+    # resnet9 (components/ResNet.py:8-13): stem + 4 BasicBlocks
+    w["rn_stem_W"] = _glorot(rng, (3, 3, 1, c[0]))
+    w["rn_stem_b"] = np.zeros(c[0], dtype=np.float32)
+    _bn("rn_stem_bn", c[0])
+    rn_ch = [c[1], c[2], c[4], c[5]]
+    prev = c[0]
+    for s, ch in enumerate(rn_ch):
+        w[f"rn_b{s}_c1_W"] = _glorot(rng, (3, 3, prev, ch))
+        w[f"rn_b{s}_c1_b"] = np.zeros(ch, dtype=np.float32)
+        _bn(f"rn_b{s}_bn1", ch)
+        w[f"rn_b{s}_c2_W"] = _glorot(rng, (3, 3, ch, ch))
+        w[f"rn_b{s}_c2_b"] = np.zeros(ch, dtype=np.float32)
+        _bn(f"rn_b{s}_bn2", ch)
+        if prev != ch:
+            w[f"rn_b{s}_proj_W"] = _glorot(rng, (1, 1, prev, ch))
+            w[f"rn_b{s}_proj_b"] = np.zeros(ch, dtype=np.float32)
+        prev = ch
+    # densenet (components/DenseNet.py:3): stem + 3 growth layers + transition
+    w["dn_stem_W"] = _glorot(rng, (3, 3, 1, c[0]))
+    w["dn_stem_b"] = np.zeros(c[0], dtype=np.float32)
+    _bn("dn_stem_bn", c[0])
+    acc = c[0]
+    for i in range(3):
+        w[f"dn_g{i}_W"] = _glorot(rng, (3, 3, acc, c[1]))
+        w[f"dn_g{i}_b"] = np.zeros(c[1], dtype=np.float32)
+        _bn(f"dn_bn{i}", c[1])
+        acc += c[1]
+    w["dn_trans_W"] = _glorot(rng, (1, 1, acc, c[5]))
+    w["dn_trans_b"] = np.zeros(c[5], dtype=np.float32)
     return w

@@ -91,3 +91,30 @@ def test_image_scores_dataframe(spark):
     row = image_scores(df).collect()[0]
     assert row.image_em == 0.5
     assert 0.0 <= row.image_lev <= 1.0
+
+
+@pytest.mark.parametrize("variant", ["simple_cnn", "resnet9", "densenet"])
+def test_encoder_zoo_variant_decodes_deterministically(variant):
+    """Zoo variants (model/img2seq_torch.py:69-83 analogs): spatial output
+    with C = conv_channels[-1] so the same attention decoder runs end-to-end;
+    deterministic; distinct from vanilla."""
+    cfg = _cfg(encoder_cnn=variant)
+    w = init_weights(cfg, N_TOK)
+    canvas, *_ = image_ops.preprocess(render_formula("1 + 2 = 3", 2))
+    out1 = encode(np.stack([canvas]), w, cfg)
+    out2 = encode(np.stack([canvas]), w, cfg)
+    assert np.array_equal(out1, out2)
+    assert out1.ndim == 4 and out1.shape[0] == 1
+    assert out1.shape[3] == cfg.conv_channels[-1]
+    assert out1.shape[1] >= 1 and out1.shape[2] >= 1
+    m = Model(cfg)
+    t1 = oracle_decode_images([render_formula("a + b", 1)], m)
+    t2 = oracle_decode_images([render_formula("a + b", 1)], m)
+    assert t1 == t2
+
+
+def test_zoo_weights_do_not_change_base_or_prior_variant_streams():
+    base = init_weights(ModelConfig.small(), N_TOK)
+    zoo = init_weights(_cfg(encoder_cnn="resnet9"), N_TOK)
+    for k in ("conv0_W", "lstm_kernel", "conv_s_W", "gru_gate_kernel"):
+        assert np.array_equal(base[k], zoo[k])
