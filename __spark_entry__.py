@@ -3,10 +3,13 @@
 entry(spark)   — flagship: full interleaved-doc extraction pipeline at sf0.001.
 queries()      — one entry per implemented operator from SURVEY.md §2 plus the
                  training-data-pipeline suite (dedup, ANN, text analysis).
-oracle_sql()   — exactly-equivalent DuckDB SQL per query (omitted only for
-                 genuinely non-SQL ops: model decode, LSH-approximate, binary
-                 image features — the driver records rows-only checks there,
-                 and tests/ cover them against the numpy oracle instead).
+oracle_sql()   — exactly-equivalent DuckDB SQL per query. Non-SQL-expressible
+                 ops (model decode, image prepro/features) are hash-checked
+                 against MATERIALIZED single-process ground truth
+                 (fixtures/oracle_store.py — DuckDB reads the parquet, Spark
+                 computes live and distributed). Only the two genuinely
+                 approximate ANN queries stay rows-only; their recall is
+                 pytest-asserted against the exact path.
 
 Column names are aliased identically on both sides; floats rounded to 4dp and
 cast to double; counts cast to bigint (DuckDB sum() yields hugeint otherwise).
@@ -152,6 +155,28 @@ def _oracle_decodes_sf001() -> str:
     if os.path.isdir(_CORRECTNESS_SF_DIR):
         return ensure_oracle_decodes(_CORRECTNESS_SF_DIR, profile="small")
     return oracle_decodes_path(_CORRECTNESS_SF_DIR, profile="small")
+
+
+def _oracle_prepro_sf001() -> str:
+    from latex_ocr_spark.fixtures.oracle_store import (
+        ensure_oracle_prepro,
+        oracle_prepro_path,
+    )
+
+    if os.path.isdir(_CORRECTNESS_SF_DIR):
+        return ensure_oracle_prepro(_CORRECTNESS_SF_DIR)
+    return oracle_prepro_path(_CORRECTNESS_SF_DIR)
+
+
+def _oracle_features_sf001() -> str:
+    from latex_ocr_spark.fixtures.oracle_store import (
+        ensure_oracle_features,
+        oracle_features_path,
+    )
+
+    if os.path.isdir(_CORRECTNESS_SF_DIR):
+        return ensure_oracle_features(_CORRECTNESS_SF_DIR)
+    return oracle_features_path(_CORRECTNESS_SF_DIR)
 
 # ---------------------------------------------------------------------------
 # queries
@@ -527,10 +552,15 @@ def _q_extract_media_decoded(spark, sf_dir):
 
 
 def _q_bucket_histogram(spark, sf_dir):
-    """G1: the shape-bucket distribution the batching shuffles on (rows-only;
-    bucket dims derive from rendered image sizes)."""
+    """G1: the shape-bucket distribution the batching shuffles on, hash-checked
+    against the single-process preprocess ground truth (oracle_prepro parquet —
+    distributed mapInPandas bucketing must equal the same kernels run in one
+    process)."""
     from latex_ocr_spark.config import PipelineConfig
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_prepro
     from latex_ocr_spark.operators.inference import preprocess_spans
+
+    ensure_oracle_prepro(sf_dir)
 
     corpus = build_corpus(spark, sf_dir)
     docs = read_docs(spark, corpus)
@@ -550,7 +580,12 @@ def _q_bucket_histogram(spark, sf_dir):
 
 
 def _q_media_image_features(spark, sf_dir):
-    """Multimodal: binary PNG decode + feature extraction (rows-only)."""
+    """Multimodal: binary PNG decode + feature extraction, hash-checked
+    against the single-process feature ground truth (oracle_features
+    parquet)."""
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_features
+
+    ensure_oracle_features(sf_dir)
     corpus = build_corpus(spark, sf_dir)
     return image_features(read_media(spark, corpus))
 
@@ -938,6 +973,17 @@ SELECT doc_id, main_text,
        CAST(CASE WHEN main_text = text THEN 1 ELSE 0 END AS INT) AS matches
 FROM stripped
 """,
+        "bucket_histogram": f"""
+SELECT bucket_w, bucket_h, CAST(count(*) AS BIGINT) AS n_images
+FROM read_parquet('{_oracle_prepro_sf001()}')
+GROUP BY bucket_w, bucket_h
+ORDER BY bucket_w, bucket_h
+""",
+        "media_image_features": f"""
+SELECT media_ref, height, width, n_bytes, mean_luma, nonwhite_frac,
+       content_h, content_w
+FROM read_parquet('{_oracle_features_sf001()}')
+""",
         "main_content_extract_dom": r"""
 SELECT doc_id,
        trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
@@ -1121,7 +1167,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
 """,
-        # rows-only (non-SQL-expressible): lsh_cosine_topk + ivf_cosine_topk
-        # (approximate), bucket_histogram + media_image_features (binary
-        # image content)
+        # rows-only (genuinely approximate, recall-tested in pytest instead):
+        # lsh_cosine_topk, ivf_cosine_topk
     }
