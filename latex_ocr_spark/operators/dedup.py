@@ -166,8 +166,16 @@ def candidate_jaccard(
     intersection per pair. Cost is O(candidates × avg shingles/doc), never the
     full corpus self-join — this is what makes the LSH actually prune at
     10^12-doc scale. Pairs with empty intersection drop out of the inner join,
-    which is correct for any threshold > 0."""
-    fan = candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    which is correct for any threshold > 0.
+
+    The candidate list is broadcast (LSH-pruned ⇒ small by construction), so
+    the doc_a fan-out never shuffles the shingle table; the fan ⋈ shingle join
+    is left to AQE, which broadcasts the fan side at runtime when it is small
+    (the common case) and falls back to a shuffle join at extreme candidate
+    volumes."""
+    fan = sh.withColumnRenamed("doc_id", "doc_a").join(
+        F.broadcast(candidates), "doc_a"
+    )
     inter = (
         fan.join(
             sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
