@@ -62,6 +62,24 @@ def test_resume_after_injected_failure(spark, corpus, tmp_path_factory):
     assert flat(b).exceptAll(flat(a)).count() == 0
 
 
+def test_no_resume_clears_checkpoint_via_fs_api(spark, corpus, tmp_path_factory):
+    """job.py --no-resume drops the checkpoint table through the Hadoop FS
+    API and reprocesses every partition."""
+    import job
+    from latex_ocr_spark.operators.checkpoint import clear_checkpoint
+
+    out = str(tmp_path_factory.mktemp("no_resume"))
+    cfg_parts = [0, 1]
+    run_with_checkpoint(spark, corpus, out, cfg=ModelConfig.small(), parts=cfg_parts)
+    assert completed_parts(spark, out) == set(cfg_parts)
+    clear_checkpoint(spark, out)
+    assert completed_parts(spark, out) == set()
+    processed = run_with_checkpoint(
+        spark, corpus, out, cfg=ModelConfig.small(), parts=cfg_parts
+    )
+    assert set(processed) == set(cfg_parts), "cleared checkpoint must reprocess"
+
+
 def test_job_cli_end_to_end_and_resume(spark, tmp_path_factory):
     """job.py main(): fresh run processes every partition; second invocation
     resumes to a no-op (all partitions checkpointed)."""
