@@ -85,7 +85,10 @@ def _append_checkpoint(spark: SparkSession, out_dir: str, row: dict) -> None:
     HDFS/S3, never on the driver's local disk."""
     path = _ckpt_path(out_dir)
     fs, dirp = _hadoop_fs(spark, path)
-    fs.setWriteChecksum(False)  # no .crc sidecars in the lineage dir
+    # .crc sidecars are tolerated: Hadoop/Spark listings skip dot-files, so
+    # completed_parts' spark.read.json never sees them. (Do NOT call
+    # fs.setWriteChecksum(False) — FileSystem.get caches instances per
+    # scheme/conf, so the flag would leak to every other write in the JVM.)
     fs.mkdirs(dirp)
     fname = spark._jvm.org.apache.hadoop.fs.Path(
         dirp, f"part-{row['part']}-{row['run_id']}.json"

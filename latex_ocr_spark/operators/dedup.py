@@ -104,8 +104,21 @@ def shingles(corpus: DataFrame, n: int = 3, max_freq: int | None = None) -> Data
         .distinct()
     )
     if max_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_freq), "shingle").select(
+        # Skew cap as a BROADCAST ANTI-JOIN on the hot-shingle blacklist: the
+        # complement (shingles with df > max_freq) is small by construction —
+        # a corpus where many shingles exceed df=256 has bigger problems — so
+        # one aggregation computes the blacklist and a broadcast left_anti
+        # applies it WITHOUT shuffling the full shingle table a second time.
+        # (The old inner join against freq.filter(df <= max_freq) kept ~all
+        # shingles on the frequency side and forced a full sort-merge join —
+        # two extra shuffles of the biggest table in the plan.)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select(
             "doc_id", "shingle"
         )
     return sh
@@ -168,14 +181,12 @@ def candidate_jaccard(
     10^12-doc scale. Pairs with empty intersection drop out of the inner join,
     which is correct for any threshold > 0.
 
-    The candidate list is broadcast (LSH-pruned ⇒ small by construction), so
-    the doc_a fan-out never shuffles the shingle table; the fan ⋈ shingle join
-    is left to AQE, which broadcasts the fan side at runtime when it is small
-    (the common case) and falls back to a shuffle join at extreme candidate
-    volumes."""
-    fan = sh.withColumnRenamed("doc_id", "doc_a").join(
-        F.broadcast(candidates), "doc_a"
-    )
+    Join strategy is left to AQE on BOTH joins: candidate volume scales with
+    the true-duplicate count, so an unconditional broadcast hint would blow
+    the driver on duplicate-heavy corpora at exactly the scale the LSH path
+    serves. AQE sees the real candidate size at runtime and broadcasts when
+    small (the common case), falling back to a shuffle join otherwise."""
+    fan = sh.withColumnRenamed("doc_id", "doc_a").join(candidates, "doc_a")
     inter = (
         fan.join(
             sh.select(F.col("doc_id").alias("doc_b"), "shingle"),

@@ -194,26 +194,33 @@ def embedding_neardup_pairs(
     threshold: float = 0.99,
     dim: int = 64,
     n_planes: int = 8,
-    n_tables: int = 12,
-    probe_bits: int = 1,
+    n_tables: int = 14,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold, LSH-pruned then
     exact-verified (the embedding analog of minhash_lsh_pairs): SRP signatures
     bucket candidates with an equi-join — never a cross join — and only
-    candidates are scored. One join side is 1-bit multi-probed, so a pair is
-    caught whenever any table's signatures differ by ≤1 bit. Output = exactly
-    the true pairs: at sim ≥ 0.99 (θ ≤ 0.081 rad, per-bit agree 0.974) a
-    probed 8-plane table catches w.p. P(hamming ≤ 1) ≈ 0.98, so
-    P(miss over 12 tables) ≈ 1e-21 — same LSH-only-prunes contract as the
-    MinHash path (dedup.py), with 2^8 buckets/table for corpus-scale headroom
-    instead of 2^4."""
+    candidates are scored.
+
+    NO multi-probing on the self-join (probe_bits=0): here BOTH join sides are
+    the full corpus, so a ×(n_planes+1) probe fan-out would shuffle 9× the
+    signature table — the fan-out trick only pays when one side is a bounded
+    query set (srp_topk_candidates). Recall is held by 2 extra unprobed tables
+    instead: at sim ≥ 0.99 (θ ≤ 0.1415 rad, per-bit agree p ≥ 0.955) one
+    8-plane table catches w.p. p^8 ≥ 0.69, so P(miss over 14 tables) ≤
+    0.31^14 ≈ 7e-8 — vs ≈1e-21 for the old probed-12-table setup, both far
+    below anything observable, at 14/108ths the candidate-generation shuffle
+    volume. Same LSH-only-prunes contract as the MinHash path (dedup.py),
+    with 2^8 buckets/table for corpus-scale headroom."""
     base = emb_with_dups(embeddings)
     sigs = srp_signatures_all(base, "embedding", dim, n_planes, n_tables).persist()
-    a = sigs.select(
-        "vec_id",
-        "table",
-        F.explode(_probe_sigs(F.col("sig"), n_planes, probe_bits)).alias("sig"),
-    ).alias("a")
+    a = sigs.alias("a")
+    if probe_bits >= 1:
+        a = sigs.select(
+            "vec_id",
+            "table",
+            F.explode(_probe_sigs(F.col("sig"), n_planes, probe_bits)).alias("sig"),
+        ).alias("a")
     b = sigs.alias("b")
     cands = (
         a.join(
