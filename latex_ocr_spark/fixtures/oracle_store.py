@@ -13,21 +13,53 @@ ensure it exists even if it runs before any Spark query.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import math
 import os
+from decimal import Decimal, ROUND_HALF_UP
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import ModelConfig, PipelineConfig
+from ..kernels import KERNELS_VERSION
 from ..kernels.oracle import Model, oracle_decode_images
 from .corpus import formula_for
 from .glyphs import render_formula
 from ..sources import corpus_dir
 
 
+def _fp(payload: dict) -> str:
+    """8-hex config fingerprint baked into every oracle parquet filename:
+    a numerics/config change produces a new name, so the gate rebuilds ground
+    truth instead of silently comparing against a stale cache (the old
+    existence-only check's known footgun)."""
+    return hashlib.sha1(
+        json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:8]
+
+
+def _model_cfg(profile: str) -> ModelConfig:
+    return {
+        "reference": ModelConfig.reference,
+        "bench": ModelConfig.bench,
+        "small": ModelConfig.small,
+    }[profile]()
+
+
 def oracle_decodes_path(sf_dir: str, profile: str = "small") -> str:
-    return os.path.join(corpus_dir(sf_dir), f"oracle_decodes_{profile}.parquet")
+    fp = _fp(
+        {
+            "kernels": KERNELS_VERSION,
+            "model": _model_cfg(profile).to_dict(),
+            "buckets": list(PipelineConfig().buckets),
+        }
+    )
+    return os.path.join(
+        corpus_dir(sf_dir), f"oracle_decodes_{profile}_{fp}.parquet"
+    )
 
 
 def _media_refs_for(sf_dir: str) -> list[str]:
@@ -42,7 +74,8 @@ def _media_refs_for(sf_dir: str) -> list[str]:
 
 
 def oracle_prepro_path(sf_dir: str) -> str:
-    return os.path.join(corpus_dir(sf_dir), "oracle_prepro.parquet")
+    fp = _fp({"kernels": KERNELS_VERSION, "buckets": list(PipelineConfig().buckets)})
+    return os.path.join(corpus_dir(sf_dir), f"oracle_prepro_{fp}.parquet")
 
 
 def ensure_oracle_prepro(sf_dir: str) -> str:
@@ -91,7 +124,8 @@ def ensure_oracle_prepro(sf_dir: str) -> str:
 
 
 def oracle_features_path(sf_dir: str) -> str:
-    return os.path.join(corpus_dir(sf_dir), "oracle_features.parquet")
+    fp = _fp({"kernels": KERNELS_VERSION})
+    return os.path.join(corpus_dir(sf_dir), f"oracle_features_{fp}.parquet")
 
 
 def ensure_oracle_features(sf_dir: str) -> str:
@@ -173,3 +207,227 @@ def ensure_oracle_decodes(sf_dir: str, profile: str = "small") -> str:
     )
     os.replace(tmp, path)  # atomic publish: concurrent builders both win
     return path
+
+
+# ---------------------------------------------------------------------------
+# ANN ground truth (lsh_cosine_topk / ivf_cosine_topk)
+#
+# Both queries are deterministic given their seeds (similarity.SRP_SEED, the
+# seeded k-means init), so exact single-process replicas close the last two
+# rows-only gaps in the correctness gate — the same golden-file pattern as
+# the decode oracle (reference analog: model/evaluation/text.py:107-145).
+#
+# Float discipline: Spark scores pairs with F.aggregate over zip_with — a
+# strict LEFT FOLD in array order — and rounds with BigDecimal HALF_UP.
+# These replicas fold in the same order in python floats (IEEE doubles) and
+# round via Decimal(repr(x)) (shortest-repr, same as BigDecimal.valueOf), so
+# every sim is bit-identical, not merely close.
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(a: list[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _round4(x: float) -> float:
+    v = float(
+        Decimal(repr(float(x))).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+    return 0.0 if v == 0.0 else v  # BigDecimal never yields -0.0; match it
+
+
+def _load_embeddings(sf_dir: str) -> tuple[list[int], list[list[float]]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    # float32 parquet values widen exactly to python doubles — the same cast
+    # Spark's x.cast("double") performs
+    vecs = [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+    return ids, vecs
+
+
+def _topk_rows(
+    ids: list[int],
+    vecs: list[list[float]],
+    norms: list[float],
+    qi: int,
+    cand: set[int],
+    k: int,
+):
+    """Exact re-rank of candidate indexes for query row qi: (sim DESC rounded,
+    neighbor_id ASC) — the same rounded-sim row_number ordering as
+    similarity.with_cosine + the rank window."""
+    scored = []
+    for ci in cand:
+        sim = _round4(_fold_dot(vecs[qi], vecs[ci]) / (norms[qi] * norms[ci]))
+        scored.append((sim, ids[ci]))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [(ids[qi], nid, sim, r) for r, (sim, nid) in enumerate(scored[:k], 1)]
+
+
+def _write_topk(path: str, rows: list[tuple[int, int, float, int]]) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "sim": pa.array([r[2] for r in rows], pa.float64()),
+                "rank": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def oracle_lsh_topk_path(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 50,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    probe_bits: int = 1,
+) -> str:
+    from ..operators.similarity import SRP_SEED
+
+    fp = _fp(
+        {
+            "seed": SRP_SEED, "k": k, "q": n_queries, "dim": dim,
+            "planes": n_planes, "tables": n_tables, "probe": probe_bits,
+        }
+    )
+    return os.path.join(corpus_dir(sf_dir), f"oracle_lsh_topk_{fp}.parquet")
+
+
+def ensure_oracle_lsh_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 50,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    probe_bits: int = 1,
+) -> str:
+    """Single-process SRP-LSH top-k ground truth: the same plane matrices
+    (similarity._srp_planes), the same sign-bit signatures, the same 1-bit
+    query-side multi-probe, exact re-rank — replayed in one process."""
+    from ..operators.similarity import _srp_planes
+
+    path = oracle_lsh_topk_path(
+        sf_dir, k, n_queries, dim, n_planes, n_tables, probe_bits
+    )
+    if os.path.exists(path):
+        return path
+    ids, vecs = _load_embeddings(sf_dir)
+    arr = np.array(vecs, dtype=np.float64)
+    # identical matmul formulation to similarity.srp_signatures_all
+    planes = np.concatenate(
+        [np.asarray(_srp_planes(dim, n_planes, t)) for t in range(n_tables)]
+    ).T.astype(np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = (arr @ planes) >= 0.0
+    sigs = bits.reshape(len(ids), n_tables, n_planes).astype(np.int64) @ weights
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(ids)):
+        for t in range(n_tables):
+            buckets.setdefault((t, int(sigs[i, t])), []).append(i)
+    norms = [_fold_norm(v) for v in vecs]
+    rows: list[tuple[int, int, float, int]] = []
+    for qi, qid in enumerate(ids):
+        if qid >= n_queries:
+            continue
+        cand: set[int] = set()
+        for t in range(n_tables):
+            s = int(sigs[qi, t])
+            probes = [s]
+            if probe_bits >= 1:
+                probes += [s ^ (1 << b) for b in range(n_planes)]
+            for p in probes:
+                cand.update(buckets.get((t, p), ()))
+        cand.discard(qi)
+        rows.extend(_topk_rows(ids, vecs, norms, qi, cand, k))
+    return _write_topk(path, rows)
+
+
+def oracle_ivf_topk_path(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+) -> str:
+    from ..operators.similarity import SRP_SEED
+
+    fp = _fp(
+        {
+            "seed": SRP_SEED, "k": k, "q": n_queries, "cent": n_centroids,
+            "probe": n_probe, "train": train_sample, "iters": kmeans_iters,
+        }
+    )
+    return os.path.join(corpus_dir(sf_dir), f"oracle_ivf_topk_{fp}.parquet")
+
+
+def ensure_oracle_ivf_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+) -> str:
+    """Single-process IVF top-k ground truth: trains centroids with the SAME
+    BLAS-free similarity.ivf_train (bit-identical doubles), then replays
+    assignment / probe / re-rank with left-fold dot products matching Spark's
+    F.aggregate expression order."""
+    from ..operators.similarity import ivf_train
+
+    path = oracle_ivf_topk_path(
+        sf_dir, k, n_queries, n_centroids, n_probe, train_sample, kmeans_iters
+    )
+    if os.path.exists(path):
+        return path
+    ids, vecs = _load_embeddings(sf_dir)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:train_sample]
+    sample = np.array([vecs[i] for i in order], dtype=np.float64)
+    cent = ivf_train(sample, n_centroids, kmeans_iters)
+    centl = [[float(v) for v in cent[c]] for c in range(n_centroids)]
+
+    def cent_dots(v: list[float]) -> list[float]:
+        return [_fold_dot(v, centl[c]) for c in range(n_centroids)]
+
+    # assignment: first-index-of-max == array_position(dots, array_max(dots))
+    cells: dict[int, list[int]] = {}
+    dots_all = [cent_dots(v) for v in vecs]
+    for i, d in enumerate(dots_all):
+        cells.setdefault(d.index(max(d)), []).append(i)
+    norms = [_fold_norm(v) for v in vecs]
+    rows: list[tuple[int, int, float, int]] = []
+    for qi, qid in enumerate(ids):
+        if qid >= n_queries:
+            continue
+        d = dots_all[qi]
+        probed = sorted(range(n_centroids), key=lambda c: (-d[c], c))[:n_probe]
+        cand: set[int] = set()
+        for c in probed:
+            cand.update(cells.get(c, ()))
+        cand.discard(qi)
+        rows.extend(_topk_rows(ids, vecs, norms, qi, cand, k))
+    return _write_topk(path, rows)

@@ -238,6 +238,27 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("sim") >= threshold).select("vec_a", "vec_b", "sim")
 
 
+def ivf_train(sample: np.ndarray, n_centroids: int, kmeans_iters: int) -> np.ndarray:
+    """Seeded spherical k-means on a bounded driver-side sample (float64).
+
+    Deliberately BLAS-free (einsum without optimize never dispatches to GEMM):
+    reduction order is then fixed by numpy's C loops, so the trained centroids
+    are bit-identical regardless of the process's BLAS thread count — the
+    materialized ANN ground truth (fixtures/oracle_store.py) replays this
+    exact function and must get the exact same doubles."""
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(SRP_SEED)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(np.einsum("ij,kj->ik", sample, cent), axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -269,16 +290,7 @@ def ivf_cosine_topk(
         .tolist(),
         dtype=np.float64,
     )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(SRP_SEED)
-    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sample @ cent.T, axis=1)
-        for c in range(n_centroids):
-            members = sample[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent = ivf_train(sample, n_centroids, kmeans_iters)
     # --- assign: nearest-centroid id as one built-in expression --------------
     def _cent_dots(vec_col):
         return F.array(
