@@ -185,6 +185,17 @@ def _oracle_features_sf001() -> str:
     return oracle_features_path(_CORRECTNESS_SF_DIR)
 
 
+def _oracle_perplexity_sf001() -> str:
+    from latex_ocr_spark.fixtures.oracle_store import (
+        ensure_oracle_perplexity,
+        oracle_perplexity_path,
+    )
+
+    if os.path.isdir(_CORRECTNESS_SF_DIR):
+        return ensure_oracle_perplexity(_CORRECTNESS_SF_DIR, profile="small")
+    return oracle_perplexity_path(_CORRECTNESS_SF_DIR, profile="small")
+
+
 def _oracle_lsh_sf001() -> str:
     from latex_ocr_spark.fixtures.oracle_store import (
         ensure_oracle_lsh_topk,
@@ -629,6 +640,18 @@ def _q_media_image_features(spark, sf_dir):
     return image_features(read_media(spark, corpus))
 
 
+def _q_perplexity(spark, sf_dir):
+    """A2: true masked-CE perplexity (teacher-forced gold-label scoring) over
+    every rendered formula image, hash-checked against the materialized
+    single-process CE replica (oracle_store.ensure_oracle_perplexity)."""
+    from latex_ocr_spark.eval.perplexity import perplexity_metric
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_perplexity
+
+    ensure_oracle_perplexity(sf_dir, profile="small")
+    corpus = build_corpus(spark, sf_dir)
+    return perplexity_metric(spark, corpus, cfg=ModelConfig.small())
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (events ↔ latest prior order per user) via the union+window
     pattern — latex_ocr_spark/operators/relational.py."""
@@ -752,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "extract_text_passthrough": _q_extract_text_passthrough,
         "extract_media_decoded": _q_extract_media_decoded,
+        "perplexity": _q_perplexity,
         "bucket_histogram": _q_bucket_histogram,
         "media_image_features": _q_media_image_features,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1205,6 +1229,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
+""",
+        # A2 — per-ref CE rows from the single-process replica; same
+        # exp(Σce/Σn) reduction as the Spark side (reference img2seq.py:68-75)
+        "perplexity": f"""
+SELECT CAST(round(exp(sum(ce_sum) / sum(n_words)), 4) AS DOUBLE) AS perplexity,
+       CAST(sum(n_words) AS BIGINT) AS n_words
+FROM read_parquet('{_oracle_perplexity_sf001()}')
 """,
         # approximate ANN — deterministic given seeds, so hash-checked against
         # materialized single-process replicas (oracle_store), like the decode

@@ -1,0 +1,127 @@
+"""A2 — true masked-cross-entropy perplexity, distributed.
+
+The reference computes perplexity during evaluation as exp(ce_words/n_words)
+where ce_words sums sparse-softmax cross-entropy of the gold token at every
+unmasked decode step under teacher forcing and n_words sums formula lengths
+(/root/reference/model/img2seq.py:68-75, 233-252 — the reference negates the
+final exp; the published table reports the magnitude).
+
+Spark shape = the flagship decode pipeline's: prepro → one (bucket, salt)
+shuffle → grouped pandas-UDF batches with broadcast weights — but the UDF
+scores gold labels (kernels.decode.AttentionDecoder.teacher_forced_ce)
+instead of free-decoding. Per-ref (ce_sum, n_words) rows reduce to the one
+corpus-level metric with a plain aggregation; the DuckDB oracle reads the
+materialized single-process replica (fixtures/oracle_store) and applies the
+same exp(Σce/Σn) formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ModelConfig, PipelineConfig
+from ..fixtures.vocab import ID_END, ID_PAD, ID_UNK, TOK_TO_ID
+from ..kernels.decode import AttentionDecoder
+from ..kernels.encoder import encode
+from ..kernels.text_ops import pad_batch_formulas, tokenize
+from ..operators.inference import preprocess_spans
+from ..pipeline import broadcast_weights
+from ..sources import read_media
+
+CE_SCHEMA = "media_ref string, ce_sum double, n_words int"
+
+
+def ce_stats(
+    prepped_with_ref: DataFrame,
+    weights_bc,
+    cfg: ModelConfig,
+    pipe: PipelineConfig,
+    n_groups_est: int | None = None,
+) -> DataFrame:
+    """(bucket, salt)-grouped teacher-forced CE over prepro'd canvases joined
+    with their gold formulas (``latex_true``): (media_ref, ce_sum, n_words)."""
+    cfg_dict = cfg.to_dict()
+    budget = pipe.batch_pixel_budget
+
+    def infer(pdf):
+        import pandas as pd
+
+        mcfg = ModelConfig.from_dict(cfg_dict)
+        dec = AttentionDecoder(weights_bc.value, mcfg, ID_END)
+        refs: list[str] = []
+        sums: list[float] = []
+        counts: list[int] = []
+        for (ch, cw), grp in pdf.groupby(["ch", "cw"], sort=True):
+            n_per_batch = max(1, budget // max(ch * cw, 1))
+            for s in range(0, len(grp), n_per_batch):
+                sub = grp.iloc[s : s + n_per_batch]
+                batch = np.stack(
+                    [
+                        np.frombuffer(a, dtype=np.uint8).reshape(ch, cw)
+                        for a in sub["canvas"]
+                    ]
+                )
+                enc = encode(batch, weights_bc.value, mcfg)
+                formulas = [
+                    tokenize(t, TOK_TO_ID, ID_UNK) for t in sub["latex_true"]
+                ]
+                labels, lengths = pad_batch_formulas(formulas, ID_PAD, ID_END)
+                ce = dec.teacher_forced_ce(enc, labels, lengths)
+                refs.extend(sub["media_ref"])
+                sums.extend(float(x) for x in ce)
+                counts.extend(int(x) for x in lengths)
+        return pd.DataFrame(
+            {"media_ref": refs, "ce_sum": sums, "n_words": counts}
+        )
+
+    sc = prepped_with_ref.sparkSession.sparkContext
+    # same groups/10 partition heuristic as the decode stage
+    n_parts = max(
+        round(n_groups_est / 10) if n_groups_est else 0,
+        2 * sc.defaultParallelism,
+        16,
+    )
+    return (
+        prepped_with_ref.repartition(n_parts, "bucket_w", "bucket_h", "salt")
+        .groupBy("bucket_w", "bucket_h", "salt")
+        .applyInPandas(infer, schema=CE_SCHEMA)
+    )
+
+
+def perplexity_metric(
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+) -> DataFrame:
+    """Corpus perplexity over every rendered formula image (the reference's
+    eval-set metric): one row (perplexity double 4dp, n_words bigint)."""
+    cfg = cfg or ModelConfig.small()
+    pipe = pipe or PipelineConfig()
+    weights_bc = broadcast_weights(spark, cfg)
+    media = read_media(spark, corpus_dir)
+    feed = media.select(
+        F.col("media_ref").alias("doc_id"),
+        F.lit(0).alias("part"),
+        F.lit(0).alias("offset"),
+        "media_ref",
+        "image",
+    )
+    n_prepro = max(spark.sparkContext.defaultParallelism, 8)
+    prepped = preprocess_spans(feed.repartition(n_prepro), pipe)
+    with_ref = prepped.join(media.select("media_ref", "latex_true"), "media_ref")
+    from ..pipeline import decode_groups_estimate
+
+    stats = ce_stats(
+        with_ref, weights_bc, cfg, pipe,
+        n_groups_est=decode_groups_estimate(spark, corpus_dir, pipe),
+    )
+    return stats.agg(
+        F.round(F.exp(F.sum("ce_sum") / F.sum("n_words")), 4)
+        .cast("double")
+        .alias("perplexity"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+    )

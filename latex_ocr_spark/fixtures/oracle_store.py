@@ -209,6 +209,81 @@ def ensure_oracle_decodes(sf_dir: str, profile: str = "small") -> str:
     return path
 
 
+def oracle_perplexity_path(sf_dir: str, profile: str = "small") -> str:
+    fp = _fp(
+        {
+            "kernels": KERNELS_VERSION,
+            "model": _model_cfg(profile).to_dict(),
+            "buckets": list(PipelineConfig().buckets),
+        }
+    )
+    return os.path.join(
+        corpus_dir(sf_dir), f"oracle_perplexity_{profile}_{fp}.parquet"
+    )
+
+
+def ensure_oracle_perplexity(sf_dir: str, profile: str = "small") -> str:
+    """Single-process teacher-forced masked-CE ground truth per media_ref:
+    (media_ref, ce_sum, n_words) — the same kernels the distributed
+    eval/perplexity.py UDF runs (encode + AttentionDecoder.teacher_forced_ce
+    on gold labels), composed in one process. The gate's DuckDB side applies
+    exp(Σce/Σn) to these rows."""
+    from ..kernels.decode import AttentionDecoder
+    from ..kernels.encoder import encode
+    from ..kernels.text_ops import pad_batch_formulas, tokenize
+    from ..kernels import image_ops
+    from ..kernels.weights import init_weights
+    from .vocab import ID_END, ID_PAD, ID_UNK, N_TOK, TOK_TO_ID
+
+    path = oracle_perplexity_path(sf_dir, profile)
+    if os.path.exists(path):
+        return path
+    cfg = _model_cfg(profile)
+    pipe = PipelineConfig()
+    weights = init_weights(cfg, N_TOK)
+    dec = AttentionDecoder(weights, cfg, ID_END)
+    refs = _media_refs_for(sf_dir)
+    pre: list[np.ndarray] = []
+    formulas: list[list[int]] = []
+    for ref in refs:
+        _, d, j = ref.split("-")
+        latex, scale = formula_for(int(d), int(j))
+        canvas, _bw, _bh, _ok = image_ops.preprocess(
+            render_formula(latex, scale), buckets=list(pipe.buckets)
+        )
+        pre.append(canvas)
+        formulas.append(tokenize(latex, TOK_TO_ID, ID_UNK))
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, canvas in enumerate(pre):
+        by_shape.setdefault(canvas.shape, []).append(i)
+    ce_sums = [0.0] * len(refs)
+    n_words = [0] * len(refs)
+    for _shape, idxs in sorted(by_shape.items()):
+        batch = np.stack([pre[i] for i in idxs])
+        enc = encode(batch, weights, cfg)
+        labels, lengths = pad_batch_formulas(
+            [formulas[i] for i in idxs], ID_PAD, ID_END
+        )
+        ce = dec.teacher_forced_ce(enc, labels, lengths)
+        for i, c, l in zip(idxs, ce, lengths):
+            ce_sums[i] = float(c)
+            n_words[i] = int(l)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": refs,
+                "ce_sum": pa.array(ce_sums, pa.float64()),
+                "n_words": pa.array(n_words, pa.int32()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # ANN ground truth (lsh_cosine_topk / ivf_cosine_topk)
 #

@@ -160,3 +160,34 @@ class AttentionDecoder:
                 ids = ids[alive]
             emb = self.w["embedding_table"][ids]
         return out[:, :t]
+
+    # --- teacher-forced masked cross-entropy (A2) ------------------------------
+    def teacher_forced_ce(
+        self, enc: np.ndarray, labels: np.ndarray, lengths: np.ndarray
+    ) -> np.ndarray:
+        """Per-row masked cross-entropy sum for gold label sequences.
+
+        The reference's perplexity statistic (/root/reference/model/img2seq.py:68-75):
+        losses = sparse_softmax_CE(logits_t, label_t) under teacher forcing
+        (step t's input embedding is gold label t-1, start token at t=0),
+        masked by sequence_mask(formula_length); ce_words = Σ losses. Labels
+        come from pad_batch_formulas (END appended, lengths include it),
+        exactly the reference feed. CE is accumulated in float64 from the
+        float32 logits; padded steps contribute nothing.
+
+        Returns ce_sums (N,) float64; n_words per row is ``lengths``.
+        """
+        img = flatten_regions(enc)
+        n = img.shape[0]
+        att_img = self.precompute(img)
+        c, h, o = self.initial_state(img)
+        emb = np.tile(self.w["start_token"][None, :], (n, 1))
+        ce = np.zeros(n, dtype=np.float64)
+        rows = np.arange(n)
+        for t in range(int(lengths.max())):
+            logits, (c, h, o) = self.cell_step(emb, (c, h, o), img, att_img)
+            lp = log_softmax(logits.astype(np.float64), axis=-1)
+            tok = labels[:, t]
+            ce -= np.where(t < lengths, lp[rows, tok], 0.0)
+            emb = self.w["embedding_table"][tok]
+        return ce

@@ -82,11 +82,40 @@ def preprocess_spans(media_joined: DataFrame, pipe: PipelineConfig) -> DataFrame
     return media_joined.mapInPandas(run, schema=PREP_SCHEMA)
 
 
+def estimate_decode_groups(media_tbl: DataFrame, pipe: PipelineConfig) -> int:
+    """Cheap metadata-only estimate of the decode stage's (bucket, salt)
+    group count — the partition-sizing input, NOT a correctness input.
+
+    Uses the media table's stored (height, width): the first-fit bucket of
+    the RAW dims approximates the post-crop bucket (crop shrinks, pad adds
+    16px — the bucket rarely moves), and the salt is the same crc32 the
+    prepro UDF assigns. One narrow 3-column distinct-count vs the decode
+    stage's wall — the stats lookup a warehouse would serve from table
+    metadata at 100 TB (Iceberg partition stats / NDV sketches)."""
+    bucket_id = F.lit(len(pipe.buckets))  # fallback: oversized
+    for i in range(len(pipe.buckets) - 1, -1, -1):
+        bw, bh = pipe.buckets[i]
+        bucket_id = F.when(
+            (F.col("width") <= bw) & (F.col("height") <= bh), F.lit(i)
+        ).otherwise(bucket_id)
+    return (
+        media_tbl.select(
+            bucket_id.alias("b"),
+            (F.crc32(F.encode("media_ref", "utf-8")) % pipe.salt_buckets).alias(
+                "s"
+            ),
+        )
+        .distinct()
+        .count()
+    )
+
+
 def decode_groups(
     prepped: DataFrame,
     weights_bc,
     cfg: ModelConfig,
     pipe: PipelineConfig,
+    n_groups_est: int | None = None,
 ) -> DataFrame:
     """Bucket-grouped batch inference with broadcast weights."""
     cfg_dict = cfg.to_dict()
@@ -141,15 +170,25 @@ def decode_groups(
     import os as _os
 
     sc = prepped.sparkSession.sparkContext
-    # factor 2: ~2 decode partitions per core balances the (bucket, salt)
-    # group hash across cores while keeping task dispatch cheap — 4× cost
-    # ~1.5 s extra per run at local[32] (measured A/B, min-of-rounds) for no
-    # balance gain; AQE still can't coalesce below an explicit count.
-    n_parts = max(
-        int(float(_os.environ.get("LATEX_OCR_DECODE_FACTOR", "2"))
-            * sc.defaultParallelism),
-        16,
-    )
+    # Partition count heuristic (measured, round-robin min-of-rounds at
+    # sf0.1): the optimum TRACKS THE GROUP COUNT, not the core count —
+    # ~groups/10 (≈60 partitions for ~600 groups) wins at 8, 16 AND 32
+    # cores (local[8]: 27.6 s vs 32.3 s with 2×cores; local[16]: 12.0 vs
+    # 15.4; local[32]: 64 ≈ both formulas). Floor of 2× total cores keeps
+    # small corpora from under-splitting. LATEX_OCR_DECODE_FACTOR overrides
+    # with a core multiple (A/B knob); LATEX_OCR_DECODE_PARTS pins exactly.
+    if _os.environ.get("LATEX_OCR_DECODE_PARTS"):
+        n_parts = int(_os.environ["LATEX_OCR_DECODE_PARTS"])
+    elif _os.environ.get("LATEX_OCR_DECODE_FACTOR"):
+        n_parts = max(
+            int(float(_os.environ["LATEX_OCR_DECODE_FACTOR"])
+                * sc.defaultParallelism),
+            16,
+        )
+    elif n_groups_est:
+        n_parts = max(round(n_groups_est / 10), 2 * sc.defaultParallelism, 16)
+    else:
+        n_parts = max(2 * sc.defaultParallelism, 16)
 
     # Oversized fallback images (no bucket fits, model/utils/image.py:115-123)
     # are singleton groups with 10-20× the decode cost of a bucketed canvas;

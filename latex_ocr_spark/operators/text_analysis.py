@@ -11,12 +11,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language marker lexicons for the n-gram/stopword heuristic
+# Per-language marker lexicons for the whole-word stopword heuristic:
+# ~25 high-frequency function words per language (ASCII-only so the literals
+# embed safely in the mirrored DuckDB SQL; apostrophe forms excluded for the
+# same reason). Scores sum whole-token hits; overlap across languages is fine
+# — the argmax sees the net signal.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and"],
-    "de": ["der", "die", "das", "und"],
-    "fr": ["le", "la", "les", "et"],
-    "es": ["el", "los", "las", "y"],
+    "en": [
+        "the", "a", "of", "and", "to", "in", "is", "was", "for", "on",
+        "with", "as", "by", "at", "it", "from", "that", "this", "be", "are",
+        "were", "not", "have", "has", "but", "they",
+    ],
+    "de": [
+        "der", "die", "das", "und", "ist", "war", "nicht", "mit", "von",
+        "zu", "den", "dem", "ein", "eine", "im", "auf", "sich", "auch",
+        "nach", "bei", "aus", "wird", "sind", "als", "wie", "oder",
+    ],
+    "fr": [
+        "le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des",
+        "au", "aux", "ce", "cette", "il", "elle", "sur", "ne", "pas",
+        "plus", "par", "avec", "mais", "ses", "sont", "ont",
+    ],
+    "es": [
+        "el", "los", "las", "y", "es", "en", "un", "una", "del", "para",
+        "que", "con", "por", "no", "se", "su", "al", "lo", "como", "pero",
+        "sus", "este", "esta", "son", "entre", "sobre",
+    ],
 }
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]

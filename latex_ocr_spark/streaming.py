@@ -130,23 +130,36 @@ def extraction_sink(
     """foreachBatch extraction sink: every micro-batch of newly-discovered
     docs runs the SAME batch inference path (pipeline.extract_spans_from_docs
     — bucketed pandas-UDF decode, broadcast weights) and lands in
-    out_dir/docs with dynamic partition overwrite, so a replayed micro-batch
-    (restart between sink write and offset commit) rewrites its partitions
-    byte-identically — exactly-once output on top of the stream checkpoint's
-    at-least-once replay. Media lookup is the static side of the join.
+    out_dir/docs partitioned by (part, batch_id). Batches are ADDITIVE:
+    batch k writes only part=*/batch_id=k leaves, so a later micro-batch
+    touching the same doc-partition never replaces an earlier batch's output
+    (distinct batch_id ⇒ distinct directories). Dynamic partition overwrite
+    then only matters on REPLAY of the same batch (restart between sink write
+    and offset commit): the replayed batch has the same batch_id and source
+    files, so it rewrites exactly its own leaves byte-identically —
+    exactly-once output on top of the stream checkpoint's at-least-once
+    replay, now under continuous multi-batch ingestion too. Media lookup is
+    the static side of the join. Read the result with ``read_extracted``
+    (drops the batch_id bookkeeping column).
 
     Runs with trigger(availableNow): drains everything currently in the
     source then stops — call .awaitTermination() on the returned query.
     """
     from .config import ModelConfig, PipelineConfig
     from .operators.reassemble import reassemble
-    from .pipeline import broadcast_weights, extract_spans_from_docs
+    from .pipeline import (
+        broadcast_weights,
+        decode_groups_estimate,
+        extract_spans_from_docs,
+    )
     from .sources import read_media
 
     cfg = cfg or ModelConfig.small()
     pipe = pipe or PipelineConfig()
     weights_bc = broadcast_weights(spark, cfg)
     media_tbl = read_media(spark, corpus_dir)
+    # one metadata aggregation at sink setup, reused by every micro-batch
+    n_groups_est = decode_groups_estimate(spark, corpus_dir, pipe)
     out_docs = out_dir.rstrip("/") + "/docs"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -157,9 +170,12 @@ def extraction_sink(
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             flat = extract_spans_from_docs(
-                sess, batch_df, media_tbl, cfg=cfg, pipe=pipe, weights_bc=weights_bc
+                sess, batch_df, media_tbl, cfg=cfg, pipe=pipe,
+                weights_bc=weights_bc, n_groups_est=n_groups_est,
             )
-            reassemble(flat).write.mode("overwrite").partitionBy("part").parquet(
+            reassemble(flat).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.mode("overwrite").partitionBy("part", "batch_id").parquet(
                 out_docs
             )
         finally:
@@ -172,6 +188,17 @@ def extraction_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the extraction sink's output as the plain docs schema.
+
+    The file source delivers each landed file exactly once, so a doc_id
+    appears in exactly one batch and dropping the batch_id partition column
+    is a projection, not a dedup. (A source that re-delivered updated docs
+    would need a keep-latest window on batch_id here — keyed, never
+    positional.)"""
+    return spark.read.parquet(out_dir.rstrip("/") + "/docs").drop("batch_id")
 
 
 def run_to_memory(df: DataFrame, name: str) -> None:

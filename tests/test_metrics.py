@@ -71,3 +71,26 @@ def test_bleu4_relational_matches_pandas_bleu4(spark):
     got = bleu4_relational(pairs).collect()[0].bleu4
     want = bleu4(pairs).collect()[0].bleu4
     assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_perplexity_matches_single_process_oracle(spark, corpus):
+    """A2: distributed teacher-forced masked-CE perplexity equals the
+    single-process replica (exp(Σce/Σn) over the same kernels) at sf0.001,
+    and per-step masking holds (ce of a length-L row ignores padded steps:
+    n_words == token count + 1 for the appended END)."""
+    import duckdb
+
+    from latex_ocr_spark.config import ModelConfig
+    from latex_ocr_spark.eval.perplexity import perplexity_metric
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_perplexity
+    from tests.conftest import SF_DIR
+
+    path = ensure_oracle_perplexity(SF_DIR, profile="small")
+    got = perplexity_metric(spark, corpus, cfg=ModelConfig.small()).collect()[0]
+    want = duckdb.sql(
+        f"SELECT round(exp(sum(ce_sum) / sum(n_words)), 4) AS p, "
+        f"sum(n_words) AS n FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got.n_words == want[1]
+    assert abs(got.perplexity - float(want[0])) < 1e-9
+    assert got.perplexity > 1.0  # CE of a softmax is positive

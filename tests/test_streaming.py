@@ -154,3 +154,45 @@ def test_foreachbatch_extraction_sink_equals_batch(spark, corpus, tmp_path_facto
     q2.awaitTermination()
     for p, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, "docs", p)) == m
+
+
+def test_extraction_sink_multi_batch_additive(spark, corpus, tmp_path_factory):
+    """Continuous ingestion: a second availableNow drain over NEWLY LANDED
+    doc files must ADD to the sink output (distinct batch_id leaves), never
+    replace an earlier batch's partitions — the failure mode of plain
+    partitionBy(part) + dynamic overwrite when two batches share a part."""
+    import os
+    import shutil
+
+    from latex_ocr_spark.config import ModelConfig
+    from latex_ocr_spark.pipeline import extract_documents
+    from latex_ocr_spark.streaming import extraction_sink, read_extracted
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out_mb"))
+    os.makedirs(os.path.join(src, "docs"))
+    os.symlink(os.path.join(corpus, "media"), os.path.join(src, "media"))
+    parts = sorted(
+        p for p in os.listdir(os.path.join(corpus, "docs")) if p.startswith("part=")
+    )
+    half = max(1, len(parts) // 2)
+    for p in parts[:half]:
+        shutil.copytree(os.path.join(corpus, "docs", p), os.path.join(src, "docs", p))
+
+    cfg = ModelConfig.small()
+    extraction_sink(spark, src, out, cfg=cfg).awaitTermination()
+    n_first = read_extracted(spark, out).count()
+    assert n_first > 0
+
+    for p in parts[half:]:
+        shutil.copytree(os.path.join(corpus, "docs", p), os.path.join(src, "docs", p))
+    extraction_sink(spark, src, out, cfg=cfg).awaitTermination()
+
+    flat = lambda df: df.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref", "s.offset")
+    got = flat(read_extracted(spark, out))
+    want = flat(extract_documents(spark, src, cfg=cfg))
+    assert read_extracted(spark, out).count() > n_first
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
