@@ -429,6 +429,15 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster keeper resolution: connected components (iterative
+    min-label propagation) over the exact-verified MinHash-LSH pair graph;
+    oracle = recursive-CTE transitive closure over the same pairs."""
+    return D.dedup_components(
+        D.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5)
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return D.simhash_64(_dup_corpus(spark, sf_dir))
 
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_components": _q_dedup_components,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -928,6 +938,26 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 7
 """,
         "minhash_lsh_pairs": _SHINGLE_CTE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
+        # connected components: recursive transitive closure over the exact
+        # pair list (small planted clusters), min reachable id per node —
+        # mirrors dedup_components' min-label-propagation fixpoint
+        "dedup_components": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+cnodes AS (SELECT DISTINCT a AS doc FROM cedges),
+reach AS (
+  SELECT doc AS src, doc AS dst FROM cnodes
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON r.dst = e.a
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS keeper_id
+FROM reach GROUP BY src
+""",
         "cosine_topk": """
 WITH dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -271,6 +271,68 @@ def minhash_lsh_pairs(
     return candidate_jaccard(candidates, sh, threshold)
 
 
+def dedup_components(pairs: DataFrame) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the near-dup
+    pair graph, emitting (doc_id, keeper_id) for every doc that appears in a
+    pair — keeper = the component's min doc_id (the standard keep-lowest-id
+    dedup policy; a training pipeline anti-joins the corpus against rows
+    with doc_id != keeper_id).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels — one equi-join + one hash aggregation
+    per round, converging in O(component diameter) rounds (near-dup clusters
+    are shallow: mutated copies chain to their source, so diameter is small
+    by construction; a deep-chain graph would want the large-star/small-star
+    variant, same join primitive). The driver loop's only action is a
+    changed-row count per round — no data ever collects to the driver.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("min_nb"))
+            .select(F.col("a").alias("doc_id"), "min_nb")
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("min_nb", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("label").alias("old")), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("keeper_id"))
+
+
 def simhash_64(corpus: DataFrame) -> DataFrame:
     """64-bit SimHash per document from md5-derived word-hash bits —
     (doc_id, simhash).

@@ -251,3 +251,24 @@ def test_strip_boilerplate(spark):
     out = {r.doc_id: r.main_text for r in TA.strip_boilerplate(docs).collect()}
     assert out[1] == "Real content"  # head/nav/footer gone, whitespace collapsed
     assert out[2] == "no markup at all"
+
+
+def test_dedup_components_multihop_chain(spark):
+    """Min-label propagation must converge across multi-hop chains (diameter
+    > 1), merge branched clusters, and keep disjoint components apart."""
+    from latex_ocr_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [
+            (10, 20), (20, 30), (30, 40),   # chain: keeper 10
+            (5, 50), (5, 60),               # star: keeper 5
+            (100, 200),                     # separate pair: keeper 100
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.keeper_id for r in dedup_components(pairs).collect()}
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        5: 5, 50: 5, 60: 5,
+        100: 100, 200: 100,
+    }

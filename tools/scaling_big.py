@@ -1,0 +1,103 @@
+"""Large-sf scaling legs — the fixed-overhead demonstration.
+
+BASELINE.md attributes the 8->32 residual under the host ceiling to fixed
+per-job overhead (~2-3 s of scan/exchange/scheduling) that cannot amortize
+over a ~10 s wall at sf0.1. This runs the SAME warm-extraction legs on the
+6x-replicated corpus (tools/make_big_sf.py, stage walls ~6x longer): if the
+raw 8->32 efficiency rises toward the host-contention ceiling as walls grow,
+the attribution is demonstrated; if not, the residual is engine work.
+
+Methodology identical to tools/scaling_bench.py (round-robin legs, min of
+merged warm walls, BLAS pinned); samples accumulate in SCALING_BIG.json
+across invocations. Usage: python tools/scaling_big.py [rounds]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.path.join(REPO, ".fixtures", "sfbig6")
+OUT = os.path.join(REPO, "SCALING_BIG.json")
+CORES = tuple(int(c) for c in os.environ.get("SCALING_CORES", "8,32").split(","))
+ALL_CORES = (2, 4, 8, 16, 32)
+ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+WARM_REPS = 2
+
+_LEG = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from latex_ocr_spark.session import get_spark
+from latex_ocr_spark.sources import build_corpus
+from latex_ocr_spark.pipeline import extract_documents
+from latex_ocr_spark.config import ModelConfig
+spark = get_spark("scaling-big", cores={cores})
+corpus = build_corpus(spark, {sf_dir!r})
+df = extract_documents(spark, corpus, cfg=ModelConfig.bench())
+t0 = time.time(); n = df.count(); cold = time.time() - t0
+warms = []
+for _ in range({reps}):
+    t0 = time.time(); df.count(); warms.append(round(time.time() - t0, 3))
+print("LEG " + json.dumps({{"cores": {cores}, "docs": n,
+    "cold": round(cold, 3), "warms": warms}}))
+spark.stop()
+"""
+
+
+def run_leg(cores: int) -> dict:
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _LEG.format(repo=REPO, cores=cores, sf_dir=SF_DIR, reps=WARM_REPS)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("LEG ")][-1]
+    return json.loads(line[4:])
+
+
+def main() -> None:
+    walls: dict[int, list[float]] = {n: [] for n in ALL_CORES}
+    docs = 0
+    if os.path.exists(OUT):
+        prev = json.load(open(OUT))
+        docs = prev.get("docs", 0)
+        for n in ALL_CORES:
+            walls[n].extend(
+                prev.get("runs", {}).get(f"local[{n}]", {}).get("all_warm_walls_s", [])
+            )
+    for r in range(ROUNDS):
+        for n in CORES:
+            leg = run_leg(n)
+            docs = leg["docs"]
+            walls[n].extend(leg["warms"])
+            print(f"round {r} local[{n}]: cold={leg['cold']} warms={leg['warms']}",
+                  file=sys.stderr, flush=True)
+    legs = [n for n in ALL_CORES if walls[n]]
+    best = {n: min(walls[n]) for n in legs}
+    result = {
+        "sf_dir": SF_DIR,
+        "docs": docs,
+        "method": "min of merged warm walls per leg, legs round-robin; BLAS pinned",
+        "runs": {
+            f"local[{n}]": {
+                "warm_wall_s": best[n],
+                "all_warm_walls_s": walls[n],
+                "docs_per_sec": round(docs / best[n], 2),
+            }
+            for n in legs
+        },
+        **{
+            f"efficiency_{a}_to_{b}": round((best[a] / best[b]) / 4.0, 3)
+            for a, b in ((2, 8), (4, 16), (8, 32))
+            if a in best and b in best
+        },
+    }
+    json.dump(result, open(OUT, "w"), indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
