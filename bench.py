@@ -85,6 +85,12 @@ def main() -> None:
     bench("exact_dedup", lambda: D.exact_dedup_groups(dup).count())
     bench("ngram_jaccard", lambda: D.jaccard_pairs(dup, threshold=0.5).count())
     bench("minhash_lsh", lambda: D.minhash_lsh_pairs(dup, threshold=0.5).count())
+    bench(
+        "dedup_components",
+        lambda: D.dedup_components(
+            D.minhash_lsh_pairs(dup, threshold=0.5)
+        ).count(),
+    )
     bench("simhash", lambda: D.simhash_64(dup).count())
     bench("simhash_pairs", lambda: D.simhash_pairs(dup).count())
     bench("cosine_topk", lambda: S.cosine_topk(emb, k=5, n_queries=50).count())
@@ -106,6 +112,13 @@ def main() -> None:
     bench("quality_score", lambda: TA.quality_score(docs_src).count())
     bench("language_id", lambda: TA.language_id(docs_src).count())
     bench("fingerprint", lambda: TA.fingerprint(docs_src).count())
+
+    from latex_ocr_spark.eval.perplexity import perplexity_metric
+
+    bench(
+        "perplexity",
+        lambda: perplexity_metric(spark, corpus, cfg=ModelConfig.small()).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -278,28 +278,57 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
     dedup policy; a training pipeline anti-joins the corpus against rows
     with doc_id != keeper_id).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own and its neighbors' labels — one equi-join + one hash aggregation
-    per round, converging in O(component diameter) rounds (near-dup clusters
-    are shallow: mutated copies chain to their source, so diameter is small
-    by construction; a deep-chain graph would want the large-star/small-star
-    variant, same join primitive). The driver loop's only action is a
-    changed-row count per round — no data ever collects to the driver.
+    Iterative min-label propagation with pointer halving: each round every
+    node takes the min label over itself and its neighbors (self-edges fold
+    the "own label" case into the one join+agg), then jumps to its label's
+    label — converging in O(log diameter) rounds. The driver loop's only
+    scalar action is a changed-row count per round — no data ever collects
+    to the driver.
+
+    Iteration state is cut from lineage with ``localCheckpoint`` (the
+    standard Spark iterative-algorithm pattern): per-round plans reference a
+    materialized RDD, never the pair-producer's plan. This matters twice —
+    it stops the plan from doubling per round, and it sidesteps a cache
+    pitfall measured here: a SELF-UNION over a persisted DataFrame defeats
+    cache substitution (the re-deduplicated second branch no longer
+    canonically matches the cache entry), silently recomputing the upstream
+    pair producer once per reference. (Cluster note: localCheckpoint trades
+    executor-loss recoverability for speed; a long-running cluster job would
+    use reliable checkpoint() to the job's checkpoint dir instead.)
     """
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # both directions in ONE pass over the pair producer (explode, not a
+    # self-union), then materialize
+    both = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    # self-edges make the propagation step a single join+agg (min over
+    # neighbors ∪ self)
+    selfe = both.select("a").distinct().select(
+        F.col("a"), F.col("a").alias("b")
+    )
+    edges = both.unionByName(selfe).localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     while True:
-        prop = (
+        stepped = (
             edges.join(
                 labels.select(
                     F.col("doc_id").alias("b"), F.col("label").alias("nl")
@@ -307,16 +336,21 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
                 "b",
             )
             .groupBy("a")
-            .agg(F.min("nl").alias("min_nb"))
-            .select(F.col("a").alias("doc_id"), "min_nb")
+            .agg(F.min("nl").alias("label"))
+            .select(F.col("a").alias("doc_id"), "label")
+            .localCheckpoint()
         )
+        # pointer halving: label ← label(label) (min-monotone, only lowers)
         new_labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("min_nb", "label")).alias("label"),
+            stepped.join(
+                stepped.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("l2")
+                ),
+                "label",
+                "left",
             )
-            .persist()
+            .select("doc_id", F.coalesce("l2", "label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -325,11 +359,9 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("keeper_id"))
 
 
