@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import ModelConfig, PipelineConfig
+from ..config import PAD_SIZE, ModelConfig, PipelineConfig
 from ..fixtures.png import decode_png
 from ..fixtures.vocab import ID_END, ID_TO_TOK, N_TOK
 from ..kernels import image_ops
@@ -110,17 +110,28 @@ def estimate_decode_groups(media_tbl: DataFrame, pipe: PipelineConfig) -> int:
     )
 
 
-def decode_groups(
-    prepped: DataFrame,
-    weights_bc,
-    cfg: ModelConfig,
-    pipe: PipelineConfig,
-    n_groups_est: int | None = None,
-) -> DataFrame:
-    """Bucket-grouped batch inference with broadcast weights."""
-    cfg_dict = cfg.to_dict()
-    budget = pipe.batch_pixel_budget
+def fits_some_bucket(pipe: PipelineConfig, height_col, width_col):
+    """Conservative metadata predicate for routing BEFORE preprocessing: a
+    raw (height, width) that fits a bucket after padding is GUARANTEED
+    in-bucket after crop+pad (crop only shrinks, image_ops.get_new_size).
+    Rows failing it take the row-parallel decode path, which handles any
+    shape — including bucketed ones the conservative test missed (the infer
+    UDF same-shape-batches within each partition either way, and the
+    kernels are batch-invariant, so routing never changes output). Routing
+    on stored dims instead of filtering prepro output means the expensive
+    PNG-decode prepro runs ONCE per row — filtering after the UDF made both
+    union branches recompute it over the whole corpus."""
+    top, left, bottom, right = PAD_SIZE
+    cond = F.lit(False)
+    for bw, bh in pipe.buckets:
+        cond = cond | (
+            (width_col + (left + right) <= bw)
+            & (height_col + (top + bottom) <= bh)
+        )
+    return cond
 
+
+def _make_infer(weights_bc, cfg_dict: dict, budget: int):
     def infer(pdf):
         import pandas as pd
 
@@ -161,6 +172,21 @@ def decode_groups(
              "media_ref": rows_ref, "latex": rows_tex, "n_tokens": rows_n}
         )
 
+    return infer
+
+
+def decode_groups(
+    prepped: DataFrame,
+    weights_bc,
+    cfg: ModelConfig,
+    pipe: PipelineConfig,
+    n_groups_est: int | None = None,
+) -> DataFrame:
+    """Bucket-grouped batch inference with broadcast weights (the in-bucket
+    path; route inputs with ``fits_some_bucket`` and send the rest to
+    ``decode_rows``)."""
+    infer = _make_infer(weights_bc, cfg.to_dict(), pipe.batch_pixel_budget)
+
     # Explicit partition count: the canvases are mostly-white uint8 and
     # compress ~20× in the shuffle, so AQE's size-based coalescing would fold
     # the decode stage down to a couple of partitions and serialize the UDF
@@ -190,24 +216,29 @@ def decode_groups(
     else:
         n_parts = max(2 * sc.defaultParallelism, 16)
 
-    # Oversized fallback images (no bucket fits, model/utils/image.py:115-123)
-    # are singleton groups with 10-20× the decode cost of a bucketed canvas;
-    # hash placement lets several collide on one partition and become THE
-    # stage straggler (observed 8.8 s max task vs 2.4 s p90). They gain
-    # nothing from same-shape grouping (each shape is unique), so they take a
-    # round-robin row-parallel path instead.
-    bucket_keys = [f"{int(w)}x{int(h)}" for w, h in pipe.buckets]
-    in_bucket = F.concat_ws(
-        "x", F.col("bucket_w").cast("string"), F.col("bucket_h").cast("string")
-    ).isin(bucket_keys)
-    normal = prepped.filter(in_bucket)
-    oversized = prepped.filter(~in_bucket)
-
-    decoded_normal = (
-        normal.repartition(n_parts, "bucket_w", "bucket_h", "salt")
+    return (
+        prepped.repartition(n_parts, "bucket_w", "bucket_h", "salt")
         .groupBy("bucket_w", "bucket_h", "salt")
         .applyInPandas(infer, schema=DECODED_SCHEMA)
     )
+
+
+def decode_rows(
+    prepped: DataFrame,
+    weights_bc,
+    cfg: ModelConfig,
+    pipe: PipelineConfig,
+) -> DataFrame:
+    """Row-parallel decode for (possibly) oversized fallback images
+    (no bucket fits, model/utils/image.py:115-123): they are singleton
+    groups with 10-20× the decode cost of a bucketed canvas, and hash
+    placement lets several collide on one partition and become THE stage
+    straggler (observed 8.8 s max task vs 2.4 s p90). They gain nothing
+    from same-shape grouping (each shape is ~unique), so they round-robin
+    instead; the infer kernel still same-shape-batches whatever lands
+    together in a partition."""
+    infer = _make_infer(weights_bc, cfg.to_dict(), pipe.batch_pixel_budget)
+    sc = prepped.sparkSession.sparkContext
 
     def infer_rows(batches):
         import pandas as pd
@@ -221,10 +252,7 @@ def decode_groups(
                      "latex": [], "n_tokens": []}
                 )
 
-    # oversized rows are rare (no-bucket-fits fallback): one partition per
-    # core is enough to round-robin them; n_parts here would mostly dispatch
-    # empty python-worker tasks
-    decoded_oversized = oversized.repartition(
-        max(sc.defaultParallelism, 8)
-    ).mapInPandas(infer_rows, schema=DECODED_SCHEMA)
-    return decoded_normal.unionByName(decoded_oversized)
+    # oversized rows are rare: one partition per core is plenty
+    return prepped.repartition(max(sc.defaultParallelism, 8)).mapInPandas(
+        infer_rows, schema=DECODED_SCHEMA
+    )

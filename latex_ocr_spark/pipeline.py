@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from .config import ModelConfig, PipelineConfig
 from .fixtures.vocab import N_TOK
 from .kernels.weights import init_weights
-from .operators.inference import decode_groups, preprocess_spans
+from .operators.inference import (
+    decode_groups,
+    decode_rows,
+    fits_some_bucket,
+    preprocess_spans,
+)
 from .operators.reassemble import reassemble
 from .sources import read_docs, read_media
 
@@ -71,7 +76,17 @@ def extract_spans_from_docs(
         "doc_id", "part", "offset", "media_ref"
     )
 
-    joined = media_spans.join(media_tbl.select("media_ref", "image"), "media_ref")
+    joined = media_spans.join(
+        media_tbl.select("media_ref", "image", "height", "width"), "media_ref"
+    )
+
+    # Route to the bucketed vs row-parallel decode path on the media table's
+    # STORED dims, before any pixel work: each row is PNG-decoded and
+    # preprocessed exactly once (filtering the prepro UDF's output instead
+    # would make both union branches recompute it over the whole corpus —
+    # measured as a duplicated MapInPandas subtree in the physical plan).
+    fits = fits_some_bucket(pipe, F.col("height"), F.col("width"))
+    base_cols = ("doc_id", "part", "offset", "media_ref", "image")
 
     # spread the decode+prepro UDF across the cluster: the broadcast join is
     # narrow, so without this the mapInPandas inherits however few input
@@ -87,14 +102,17 @@ def extract_spans_from_docs(
             * spark.sparkContext.defaultParallelism),
         8,
     )
-    prepped = preprocess_spans(
-        joined.select("doc_id", "part", "offset", "media_ref", "image")
-        .repartition(n_prepro),
-        pipe,
+    prepped_bucketed = preprocess_spans(
+        joined.filter(fits).select(*base_cols).repartition(n_prepro), pipe
+    )
+    prepped_rows = preprocess_spans(
+        joined.filter(~fits).select(*base_cols).repartition(8), pipe
     )
     # part rides through both UDF schemas, so any corpus's own partition
     # assignment is preserved (never re-derived from the doc_id string)
-    decoded = decode_groups(prepped, weights_bc, cfg, pipe, n_groups_est)
+    decoded = decode_groups(
+        prepped_bucketed, weights_bc, cfg, pipe, n_groups_est
+    ).unionByName(decode_rows(prepped_rows, weights_bc, cfg, pipe))
     media_out = decoded.select(
         "doc_id",
         "part",
