@@ -2,8 +2,25 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": <suite wall s>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+  {"metric": ..., "value": <sum of per-query minima s>, "unit": "sec",
+   "queries": {name: min sec}, "reps": {name: [sec, ...]}, "sf": ...,
+   "docs_per_sec": ...}
+
+Noise robustness: this shared host's effective capacity swings 2-3x within
+minutes (measured: four back-to-back warm extraction reps spanned 34.9 ->
+12.4 s), so a single-shot bench is meaningless here. Every query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and the headline number per query
+is the MIN across reps — the standard least-contended-observation estimator,
+the same one tools/scaling_bench.py uses. The full per-rep arrays are kept
+in "reps" so the spread is visible; "wall_clock_s" is the actual elapsed
+suite time including every rep.
+
+`extract_pipeline_first` (single shot by definition) replaces the old
+`extract_pipeline_cold` row: it times python-worker spin-up + first parquet
+read + first-job scheduling on top of the steady-state work. The round-3
+decomposition (BASELINE.md) showed it is NOT a distinct code path — once
+workers are up, "cold" ≈ warm — so treat it as a spin-up latency number,
+never a throughput regression signal.
 
 The flagship extraction number (docs/sec over the synthesized interleaved
 corpus) is the BASELINE.json throughput metric; tools/scaling_bench.py runs
@@ -47,21 +64,30 @@ def main() -> None:
 
     decode_groups_estimate(spark, corpus, PipelineConfig())
 
+    suite_t0 = time.time()
+    reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
 
-    def bench(name, fn):
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def bench(name, fn, reps=None):
+        walls = []
+        n = 0
+        for _ in range(reps or reps_default):
+            t0 = time.time()
+            n = fn()
+            walls.append(round(time.time() - t0, 3))
+        rep_walls[name] = walls
+        timings[name] = min(walls)
         return n
 
     # flagship: full interleaved extraction (prepro + CNN + attention decode),
-    # bench model profile (≈reference-scale per-core cost). Cold run includes
-    # python-worker spin-up and page-cache warm; the warm number is the
-    # steady-state throughput a long job sees.
+    # bench model profile (≈reference-scale per-core cost). The `_first` row
+    # is a single shot by definition (spin-up + first read); the warm row is
+    # the steady-state throughput a long job sees, min-of-reps.
     n_docs = bench(
-        "extract_pipeline_cold",
+        "extract_pipeline_first",
         lambda: extract_documents(spark, corpus, cfg=ModelConfig.bench()).count(),
+        reps=1,
     )
     bench(
         "extract_pipeline",
@@ -122,11 +148,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "extraction+analytics suite wall time (flagship: interleaved "
-        "doc extraction, docs/sec in docs_per_sec)",
+        "metric": "extraction+analytics suite wall time, sum of per-query "
+        f"min-of-{reps_default} reps (flagship: interleaved doc extraction, "
+        "docs/sec in docs_per_sec)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": rep_walls,
+        "wall_clock_s": round(time.time() - suite_t0, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / timings["extract_pipeline"], 2),
