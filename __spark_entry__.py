@@ -108,6 +108,28 @@ jac AS (
 """
 )
 
+# Recursive transitive closure over the exact near-dup pair list (small
+# planted clusters) — shared by the dedup_components oracle (keeper per node)
+# and the dedup_apply oracle (corpus anti-join against non-keepers)
+_COMPONENTS_CTE = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+cnodes AS (SELECT DISTINCT a AS doc FROM cedges),
+reach AS (
+  SELECT doc AS src, doc AS dst FROM cnodes
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON r.dst = e.a
+)
+"""
+)
+
+
 def _simhash_cte() -> str:
     """DuckDB mirror of dedup.simhash_64: md5 hex digits → bit votes → sign.
     Terms are summed in ascending bit order so no BIGINT partial sum can
@@ -435,6 +457,17 @@ def _q_dedup_components(spark, sf_dir):
     oracle = recursive-CTE transitive closure over the same pairs."""
     return D.dedup_components(
         D.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5)
+    )
+
+
+def _q_dedup_apply(spark, sf_dir):
+    """Materialized deduped corpus: connected-components keeper resolution
+    over the exact-verified MinHash-LSH pairs, then corpus LEFT ANTI
+    non-keepers — the anti-join a training pipeline runs to emit surviving
+    (doc_id, text) rows; oracle = recursive-CTE closure + NOT IN."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return D.dedup_apply(
+        corpus, D.minhash_lsh_pairs(corpus, n=3, threshold=0.5)
     )
 
 
@@ -770,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
+        "dedup_apply": _q_dedup_apply,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -941,22 +975,20 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 7
         # connected components: recursive transitive closure over the exact
         # pair list (small planted clusters), min reachable id per node —
         # mirrors dedup_components' min-label-propagation fixpoint
-        "dedup_components": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-        + """,
-prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-cedges AS (
-  SELECT doc_a AS a, doc_b AS b FROM prs
-  UNION
-  SELECT doc_b AS a, doc_a AS b FROM prs
-),
-cnodes AS (SELECT DISTINCT a AS doc FROM cedges),
-reach AS (
-  SELECT doc AS src, doc AS dst FROM cnodes
-  UNION
-  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON r.dst = e.a
-)
+        "dedup_components": _COMPONENTS_CTE
+        + """
 SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS keeper_id
 FROM reach GROUP BY src
+""",
+        # materialized deduped corpus: closure → keeper per node → corpus
+        # anti-join against non-keepers (mirrors dedup.dedup_apply)
+        "dedup_apply": _COMPONENTS_CTE
+        + """,
+comp AS (
+  SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.text FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
 """,
         "cosine_topk": """
 WITH dots AS (

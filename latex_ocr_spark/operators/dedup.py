@@ -271,6 +271,25 @@ def minhash_lsh_pairs(
     return candidate_jaccard(candidates, sh, threshold)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a localCheckpoint'd frame.
+
+    ``DataFrame.unpersist()`` only clears cache-manager entries, not
+    checkpoint RDD blocks; those otherwise live until the JVM's
+    ContextCleaner notices the RDD is unreachable — on a long iterative job
+    that means monotonic storage growth across rounds. The plan of a
+    localCheckpoint'd DataFrame is a single LogicalRDD leaf whose ``rdd`` is
+    exactly the persisted RDD; unpersist it directly. Best-effort: if the
+    plan shape ever differs we fall back to GC-driven cleanup.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_components(pairs: DataFrame) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the near-dup
     pair graph, emitting (doc_id, keeper_id) for every doc that appears in a
@@ -321,6 +340,7 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
         F.col("a"), F.col("a").alias("b")
     )
     edges = both.unionByName(selfe).localCheckpoint()
+    _free_local_checkpoint(both)  # edges materialized; both's blocks done
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -352,6 +372,9 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
             .select("doc_id", F.coalesce("l2", "label").alias("label"))
             .localCheckpoint()
         )
+        # new_labels is materialized (eager checkpoint): stepped's blocks
+        # are dead weight from here on
+        _free_local_checkpoint(stepped)
         changed = (
             new_labels.join(
                 labels.select("doc_id", F.col("label").alias("old")), "doc_id"
@@ -359,10 +382,37 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        # the changed-count was the last reader of the previous round's
+        # labels — free them so storage stays O(1) across rounds instead of
+        # growing by two checkpoints per round
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("keeper_id"))
+    result = labels.select("doc_id", F.col("label").alias("keeper_id"))
+    _free_local_checkpoint(edges)  # converged: no further propagation rounds
+    return result
+
+
+def dedup_apply(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: resolve duplicate clusters over
+    the near-dup pair graph (``dedup_components``) and LEFT ANTI join the
+    corpus against the non-keepers — the final step a training pipeline runs
+    daily to emit the surviving (doc_id, text) rows.
+
+    Scale notes (100 TB): the components table only contains docs that
+    appear in a pair — a small fraction of the corpus — and the anti-join is
+    a shuffle-on-key (or AQE-chosen broadcast when the non-keeper set is
+    small) equi-join; the corpus is never collected or cross-joined.
+    Reference analog: the incremental-skip anti-join precedent,
+    /root/reference/model/utils/image.py:243-245.
+    """
+    non_keepers = (
+        dedup_components(pairs)
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    return corpus.join(non_keepers, "doc_id", "left_anti")
 
 
 def simhash_64(corpus: DataFrame) -> DataFrame:

@@ -272,3 +272,37 @@ def test_dedup_components_multihop_chain(spark):
         5: 5, 50: 5, 60: 5,
         100: 100, 200: 100,
     }
+
+
+def test_dedup_apply_emits_keepers_and_untouched_docs(spark):
+    """dedup_apply = corpus LEFT ANTI non-keepers: survivors are every
+    cluster's min doc_id plus all docs never seen in a pair."""
+    from latex_ocr_spark.operators.dedup import dedup_apply
+
+    corpus = spark.createDataFrame(
+        [(d, f"text {d}") for d in (5, 10, 20, 30, 50, 777)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (5, 50)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id for r in dedup_apply(corpus, pairs).collect()}
+    assert got == {5, 10, 777}  # keepers 5,10 + never-paired 777
+
+
+def test_dedup_components_releases_checkpoint_storage(spark):
+    """Iteration state must not accumulate: after the fixpoint, the only
+    persisted RDD left is the final labels checkpoint the result reads."""
+    from latex_ocr_spark.operators.dedup import dedup_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50), (50, 60)],
+        "doc_a long, doc_b long",
+    )
+    result = dedup_components(pairs)
+    assert result.count() == 6
+    # exactly one new persisted RDD (the returned labels checkpoint) may
+    # remain; per-round stepped/labels and the edge tables must be freed
+    assert len(jsc.getRDDStorageInfo()) <= before + 1
