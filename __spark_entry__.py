@@ -839,17 +839,17 @@ def oracle_sql() -> dict[str, str]:
     markers = TA.LANG_MARKERS
     stop = TA.STOPWORDS
 
-    def cnt(word: str, col: str = "text") -> str:
-        needle = f" {word} "
+    def cnt(words: list[str], col: str = "text") -> str:
+        # mirrors TA._count_words: whole-token lexicon hits via list_filter,
+        # exact for adjacent repeats ("w w" counts 2)
+        lits = ", ".join(f"'{w}'" for w in words)
         return (
-            f"CAST((length(' ' || {col} || ' ') - "
-            f"length(replace(' ' || {col} || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+            f"CAST(len(list_filter(string_split({col}, ' '), "
+            f"t -> t IN ({lits}))) AS BIGINT)"
         )
 
-    stop_hits = " + ".join(cnt(w) for w in stop)
-    lang_scores = {
-        lang: " + ".join(cnt(w) for w in ws) for lang, ws in sorted(markers.items())
-    }
+    stop_hits = cnt(stop)
+    lang_scores = {lang: cnt(ws) for lang, ws in sorted(markers.items())}
     score_cols = ",\n         ".join(
         f"({expr}) AS score_{lang}" for lang, expr in lang_scores.items()
     )

@@ -42,14 +42,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
-def _count_word(text_col, word: str):
-    """Occurrences of ``word`` as a whole token: count in ' '||text||' ' of
-    ' word ' via length-difference — identical semantics in DuckDB."""
-    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
+def _count_words(text_col, words: list[str]):
+    """Tokens of ``text`` equal to any of ``words``:
+    size(filter(split(text, ' '), t -> t IN words)).
+
+    Exact even for adjacent repeats ("w w" counts 2) — the previous padded
+    length-difference replace formula missed every second of an adjacent run
+    because the shared separator space is consumed by the first
+    non-overlapping match. One filter pass covers a whole marker lexicon
+    (each token matches at most one distinct marker), still a built-in array
+    expression inside whole-stage codegen; mirrored as
+    len(list_filter(string_split(...), t -> t IN (...))) in DuckDB.
+    """
+    return F.size(
+        F.filter(F.split(text_col, " "), lambda t: t.isin(*words))
     ).cast("long")
 
 
@@ -74,10 +80,7 @@ def quality_score(corpus: DataFrame) -> DataFrame:
     (float-stable across engines)."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    stop_hits = None
-    for w in STOPWORDS:
-        c = _count_word(F.col("text"), w)
-        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_hits = _count_words(F.col("text"), STOPWORDS)
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", r"[\.,;:!\?]", "")
     )
@@ -102,7 +105,7 @@ def language_id(corpus: DataFrame) -> DataFrame:
     whole-word marker hit count; ties broken by language code order; 'und'
     (undetermined) when all scores are 0."""
     scores = {
-        lang: sum(_count_word(F.col("text"), w) for w in markers)
+        lang: _count_words(F.col("text"), markers)
         for lang, markers in LANG_MARKERS.items()
     }
     langs = sorted(scores)  # deterministic tie-break: alphabetical

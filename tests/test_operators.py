@@ -182,6 +182,17 @@ def test_token_count_and_quality(spark):
     assert abs(q[1].stopword_ratio - round(2 / 6, 4)) < 1e-9
 
 
+def test_stopword_count_exact_on_adjacent_repeats(spark):
+    """'the the' must count 2 — the old padded length-difference replace
+    consumed the shared separator and missed every second of a run."""
+    docs = spark.createDataFrame(
+        [(1, "the the"), (2, "the the the of of")], ["doc_id", "text"]
+    )
+    q = {r.doc_id: r for r in TA.quality_score(docs).collect()}
+    assert abs(q[1].stopword_ratio - 1.0) < 1e-9  # 2/2, not 1/2
+    assert abs(q[2].stopword_ratio - 1.0) < 1e-9  # 5/5
+
+
 def test_language_id_markers(spark):
     docs = spark.createDataFrame(
         [
