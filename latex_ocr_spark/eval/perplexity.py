@@ -119,6 +119,13 @@ def perplexity_metric(
         with_ref, weights_bc, cfg, pipe,
         n_groups_est=decode_groups_estimate(spark, corpus_dir, pipe),
     )
+    # Gate-determinism note: per-ref ce_sum values are bit-identical to the
+    # oracle replica (same kernels), but this float64 Σ over partitions is
+    # summation-order-dependent, unlike the repo's left-fold disciplines
+    # elsewhere. The relative wobble is a few ulps (~1e-13) on a metric
+    # rounded to 4dp, so the round() flips only if the true value sits
+    # within ~1e-9 of a 0.5e-4 boundary — accepted, documented reliance on
+    # error << 1e-4 rather than forcing a single-partition ordered fold.
     return stats.agg(
         F.round(F.exp(F.sum("ce_sum") / F.sum("n_words")), 4)
         .cast("double")

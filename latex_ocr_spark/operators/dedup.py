@@ -104,23 +104,24 @@ def shingles(corpus: DataFrame, n: int = 3, max_freq: int | None = None) -> Data
         .distinct()
     )
     if max_freq is not None:
-        # Skew cap as a BROADCAST ANTI-JOIN on the hot-shingle blacklist: the
-        # complement (shingles with df > max_freq) is small by construction —
-        # a corpus where many shingles exceed df=256 has bigger problems — so
-        # one aggregation computes the blacklist and a broadcast left_anti
+        # Skew cap as an ANTI-JOIN on the hot-shingle blacklist: the
+        # complement (shingles with df > max_freq) is small on any sane
+        # corpus, so one aggregation computes the blacklist and a left_anti
         # applies it WITHOUT shuffling the full shingle table a second time.
         # (The old inner join against freq.filter(df <= max_freq) kept ~all
         # shingles on the frequency side and forced a full sort-merge join —
         # two extra shuffles of the biggest table in the plan.)
+        # No broadcast() hint: AQE picks the broadcast anti-join at runtime
+        # from the blacklist's ACTUAL size (verified in PLANS.md), and on a
+        # pathological corpus where the blacklist is huge it degrades to a
+        # shuffle join instead of blowing driver memory on a forced hint.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select(
-            "doc_id", "shingle"
-        )
+        sh = sh.join(hot, "shingle", "left_anti").select("doc_id", "shingle")
     return sh
 
 

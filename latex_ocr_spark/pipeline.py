@@ -127,7 +127,7 @@ def extract_spans_from_docs(
 # decode-group estimate per corpus dir: one metadata aggregation per corpus
 # per process (the table's stats don't change under us), shared by every
 # extract_spans / checkpointed per-part run / bench repetition against it
-_GROUPS_EST_CACHE: dict[tuple[str, int], int] = {}
+_GROUPS_EST_CACHE: dict[tuple, int] = {}
 
 
 def decode_groups_estimate(
@@ -138,7 +138,10 @@ def decode_groups_estimate(
     media-table metadata columns only (never a second prepro pass)."""
     from .operators.inference import estimate_decode_groups
 
-    key = (corpus_dir, pipe.salt_buckets)
+    # the bucket table participates in the estimate (groups ≈ non-empty
+    # (bucket, salt) cells), so a caller with a custom bucket table must not
+    # reuse the default table's cached estimate
+    key = (corpus_dir, pipe.salt_buckets, tuple(pipe.buckets))
     if key not in _GROUPS_EST_CACHE:
         _GROUPS_EST_CACHE[key] = estimate_decode_groups(
             read_media(spark, corpus_dir), pipe

@@ -23,9 +23,13 @@ out = os.path.join(out_dir, "documents.parquet")
 if os.path.exists(out):
     print("exists", out)
     raise SystemExit(0)
-# offset step: multiple of 291 above the source id range
-step = 1000000 * 291 // 291 * 291  # 999... keep simple: 29100000
+# replica id offset: multiple of 291 (the corpus fixture's doc_id modulus,
+# preserving the d%3/d%97 planted-density invariants) above the source range
 step = 29100000
+max_id = duckdb.sql(f"SELECT max(doc_id) FROM read_parquet('{src}')").fetchone()[0]
+assert max_id < step, (
+    f"source doc_ids reach {max_id} >= step {step}: replicas would collide"
+)
 sel = " UNION ALL ".join(
     f"SELECT doc_id + {k * step} AS doc_id, text, lang, source, n_chars "
     f"FROM read_parquet('{src}')"
