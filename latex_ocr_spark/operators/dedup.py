@@ -482,7 +482,13 @@ def simhash_pairs(
     assert max_hamming <= n_blocks - 1, "banding guarantee needs blocks > hamming"
     bits_per = 64 // n_blocks
     mask = (1 << bits_per) - 1
-    sigs = simhash_64(corpus)
+    # persisted: both self-join sides read the signatures — otherwise the
+    # 64-vote aggregation runs twice. Persist the 1-row-per-doc sigs, NOT the
+    # exploded 8-rows-per-doc block table: the explode is a cheap map-side
+    # projection each side recomputes from cache, and the persisted footprint
+    # (what the r3 profile flagged as the pairing-stage drift) stays 8x
+    # smaller.
+    sigs = simhash_64(corpus).persist()
     block_structs = [
         F.struct(
             F.lit(k).alias("block_idx"),
@@ -492,41 +498,36 @@ def simhash_pairs(
         )
         for k in range(n_blocks)
     ]
-    # persisted: both self-join sides read blocks — otherwise the 64-vote
-    # signature aggregation runs twice
-    blocks = (
-        sigs.select(
-            "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
-        )
-        .select(
-            "doc_id",
-            "simhash",
-            F.col("bk.block_idx").alias("block_idx"),
-            F.col("bk.block_bits").alias("block_bits"),
-        )
-        .persist()
+    blocks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.block_idx").alias("block_idx"),
+        F.col("bk.block_bits").alias("block_bits"),
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_bits") == F.col("b.block_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
+    cands = a.join(
+        b,
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block_bits") == F.col("b.block_bits"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sa"),
+        F.col("b.simhash").alias("sb"),
     )
+    # Verify BEFORE deduplicating: bit_count(xor) is a per-row expression,
+    # and hamming ≤ max_hamming rejects almost every candidate (random
+    # signatures average distance 32), so the distinct's exchange shuffles
+    # only true near-dup pairs instead of every multi-block collision.
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
