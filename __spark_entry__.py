@@ -108,6 +108,21 @@ jac AS (
 """
 )
 
+def _bpe_subword_sql(col: str) -> str:
+    """DuckDB mirror of TA._bpe_subword_count: identical intersperse +
+    rank-order merge-replace chain + MARK/WSEP count difference, built from
+    the same BPE_MERGES fixture table."""
+    m, ws = TA.BPE_MARK, TA.BPE_WSEP
+    s = f"regexp_replace(replace({col}, ' ', '{ws}'), '(.)', '\\1{m} ', 'g')"
+    s = f"(' ' || {s})"
+    for a, b in TA.BPE_MERGES:
+        s = f"replace({s}, ' {a}{m} {b}{m}', ' {a}{b}{m}')"
+    return (
+        f"((length({s}) - length(replace({s}, '{m}', ''))) - "
+        f"(length({s}) - length(replace({s}, '{ws}', ''))))"
+    )
+
+
 # Recursive transitive closure over the exact near-dup pair list (small
 # planted clusters) — shared by the dedup_components oracle (keeper per node)
 # and the dedup_apply oracle (corpus anti-join against non-keepers)
@@ -1116,11 +1131,10 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS INT) AS matches
 FROM documents
 """,
-        "token_count": """
+        "token_count": f"""
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
-       CAST(list_sum(list_transform(string_split(text, ' '),
-            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+       CAST({_bpe_subword_sql("text")} AS BIGINT) AS n_subwords,
        CAST(length(text) AS INT) AS n_chars
 FROM documents
 """,

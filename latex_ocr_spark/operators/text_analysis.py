@@ -41,6 +41,58 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
+# Deterministic greedy-BPE fixture merge table for subword counting (token
+# budgeting), applied in rank order — the original BPE apply procedure:
+# start from characters, then for each (left, right) pair in order replace
+# every adjacent occurrence with the merged token. Every compound operand is
+# produced by an earlier merge, so the table is well-formed under strict
+# in-order application. A production pipeline would load a learned merges
+# file (e.g. GPT-2's ~50k merges) into the same expression chain; the
+# counting machinery is identical, only the table is a fixture.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "r"), ("o", "u"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "t"), ("a", "r"), ("o", "f"), ("t", "o"),
+    ("i", "s"), ("i", "t"), ("a", "l"), ("e", "d"), ("a", "s"),
+    ("l", "l"), ("c", "h"), ("l", "e"), ("s", "e"), ("r", "o"),
+    ("m", "e"), ("w", "h"), ("e", "a"), ("d", "e"), ("c", "o"),
+    ("u", "n"), ("s", "h"), ("w", "a"), ("l", "i"), ("m", "a"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("ou", "r"), ("er", "s"),
+    ("on", "e"), ("at", "e"), ("or", "e"), ("en", "t"), ("ed", "s"),
+    ("es", "s"), ("al", "l"), ("ar", "t"), ("is", "h"), ("it", "y"),
+]
+
+# Token-stream encoding for the merge chain: every token is rendered as
+# "<string>MARK" and tokens are space-separated with a leading space, so the
+# merge needle " aMARK bMARK" (ending at the marker, not consuming the
+# following separator space) matches adjacent repeats exactly — "t h t h"
+# merges to "th th", unlike separator-consuming formulas. Original spaces
+# become WSEP tokens that no merge touches, keeping merges word-local.
+# MARK/WSEP are control chars absent from any sane document text; a real
+# pipeline strips control chars upstream.
+BPE_MARK = "\x01"
+BPE_WSEP = "\x02"
+
+
+def _bpe_subword_count(text_col):
+    """Greedy-BPE subword count as one chained built-in string pipeline
+    (JVM-side, no UDF): intersperse MARK+space after every char, fold the
+    merge table in rank order as replace()s, then count = #MARK − #WSEP
+    (word-separator tokens are not subwords). Mirrored char-for-char in the
+    DuckDB oracle."""
+    s = F.replace(text_col, F.lit(" "), F.lit(BPE_WSEP))
+    s = F.regexp_replace(s, "(.)", "$1" + BPE_MARK + " ")
+    s = F.concat(F.lit(" "), s)
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f" {a}{BPE_MARK} {b}{BPE_MARK}"),
+            F.lit(f" {a}{b}{BPE_MARK}"),
+        )
+    n_marks = F.length(s) - F.length(F.replace(s, F.lit(BPE_MARK), F.lit("")))
+    n_seps = F.length(s) - F.length(F.replace(s, F.lit(BPE_WSEP), F.lit("")))
+    return (n_marks - n_seps).cast("long")
+
 
 def _count_words(text_col, words: list[str]):
     """Tokens of ``text`` equal to any of ``words``:
@@ -60,17 +112,14 @@ def _count_words(text_col, words: list[str]):
 
 
 def token_count(corpus: DataFrame) -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (4 chars/subword,
-    ceil per word) per document."""
+    """Whitespace tokens + deterministic greedy-BPE subword count
+    (BPE_MERGES fixture table, rank-order application) per document —
+    the number a training pipeline budgets against."""
     words = F.split(F.col("text"), " ")
     return corpus.select(
         "doc_id",
         F.size(F.filter(words, lambda w: w != "")).alias("n_words"),
-        F.aggregate(
-            words,
-            F.lit(0).cast("long"),
-            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
-        ).alias("n_subwords"),
+        _bpe_subword_count(F.col("text")).alias("n_subwords"),
         F.length("text").alias("n_chars"),
     )
 

@@ -174,12 +174,25 @@ def test_token_count_and_quality(spark):
     )
     tc = {r.doc_id: r for r in TA.token_count(docs).collect()}
     assert tc[1].n_words == 6
-    assert tc[2].n_words == 2 and tc[2].n_subwords == 2
+    # greedy-BPE over BPE_MERGES: the|c,at|s,at|on|the|m,at,. = 10 subwords
+    assert tc[1].n_subwords == 10
+    assert tc[2].n_words == 2 and tc[2].n_subwords == 2  # no merge applies
     q = {r.doc_id: r for r in TA.quality_score(docs).collect()}
     assert q[1].punct_ratio > 0
     assert q[2].quality_keep == 0  # too short
     # 'the' appears twice among 6 whitespace tokens ('mat.' carries the dot)
     assert abs(q[1].stopword_ratio - round(2 / 6, 4)) < 1e-9
+
+
+def test_bpe_subword_rank_order_and_adjacent_merges(spark):
+    """Merges apply strictly in rank order and must catch adjacent repeats:
+    'thth' -> th|th (2), 'ing' -> in+g -> ing (1), 'mat' -> m|at because
+    (a,t) outranks (m,a)."""
+    docs = spark.createDataFrame(
+        [(1, "thth"), (2, "ing"), (3, "mat"), (4, "")], ["doc_id", "text"]
+    )
+    tc = {r.doc_id: r.n_subwords for r in TA.token_count(docs).collect()}
+    assert tc == {1: 2, 2: 1, 3: 2, 4: 0}
 
 
 def test_stopword_count_exact_on_adjacent_repeats(spark):
