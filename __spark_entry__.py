@@ -486,6 +486,14 @@ def _q_dedup_apply(spark, sf_dir):
     )
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """Composed curation pass over the planted-dups corpus: language gate +
+    quality gate (pure expressions before the only shuffle) + near-exact
+    fingerprint dedup keeping min doc_id; oracle replays the same formulas
+    and keeper join in DuckDB."""
+    return TA.curate_corpus(_dup_corpus(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return D.simhash_64(_dup_corpus(spark, sf_dir))
 
@@ -819,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_apply": _q_dedup_apply,
+        "curate_corpus": _q_curate_corpus,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1170,6 +1179,26 @@ SELECT doc_id,
        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
        substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
 FROM documents
+""",
+        # composed curation pass over the planted-dups corpus: same lang /
+        # quality / fingerprint formulas as the standalone oracles, keeper =
+        # min doc_id per normalized-content fingerprint
+        "curate_corpus": _DUP_CTE
+        + f""",
+scored AS (
+  SELECT doc_id, text, {score_cols} FROM corpus
+),
+gated AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM scored
+  WHERE (CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END) = 'en'
+    AND len(string_split(text, ' ')) >= 8
+    AND round(CAST(({stop_hits}) AS DOUBLE) / len(string_split(text, ' ')), 4) >= 0.05
+)
+SELECT g.doc_id, g.text FROM gated g
+JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
+  ON g.fp = k.fp AND g.doc_id = k.doc_id
 """,
         "extract_text_passthrough": _CTE
         + """

@@ -149,18 +149,20 @@ def quality_score(corpus: DataFrame) -> DataFrame:
     )
 
 
-def language_id(corpus: DataFrame) -> DataFrame:
-    """Marker-lexicon language scorer: picks the language with the highest
-    whole-word marker hit count; ties broken by language code order; 'und'
-    (undetermined) when all scores are 0."""
-    scores = {
-        lang: _count_words(F.col("text"), markers)
+def _lang_scores(text_col) -> dict:
+    return {
+        lang: _count_words(text_col, markers)
         for lang, markers in LANG_MARKERS.items()
     }
-    langs = sorted(scores)  # deterministic tie-break: alphabetical
+
+
+def _lang_pred_expr(text_col, scores: dict | None = None):
+    """argmax over marker-lexicon scores; alphabetical tie-break; 'und' when
+    all scores are 0. Shared by language_id and curate_corpus."""
+    scores = scores or _lang_scores(text_col)
     best = None
     best_score = None
-    for lang in langs:
+    for lang in sorted(scores):
         s = scores[lang]
         if best is None:
             best, best_score = F.lit(lang), s
@@ -168,10 +170,51 @@ def language_id(corpus: DataFrame) -> DataFrame:
             cond = s > best_score
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
-    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
-    sel = [corpus["doc_id"], pred.alias("lang_pred")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def _quality_keep_expr(text_col):
+    """The quality gate predicate (n_words >= 8 and stopword ratio >= 0.05)
+    with the exact rounding quality_score reports. Shared by quality_score
+    and curate_corpus."""
+    n_words = F.size(F.split(text_col, " "))
+    stop_hits = _count_words(text_col, STOPWORDS)
+    return (n_words >= 8) & (F.round(stop_hits / n_words, 4) >= 0.05)
+
+
+def language_id(corpus: DataFrame) -> DataFrame:
+    """Marker-lexicon language scorer: picks the language with the highest
+    whole-word marker hit count; ties broken by language code order; 'und'
+    (undetermined) when all scores are 0."""
+    scores = _lang_scores(F.col("text"))
+    sel = [corpus["doc_id"], _lang_pred_expr(F.col("text"), scores).alias("lang_pred")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
     return corpus.select(*sel)
+
+
+def curate_corpus(corpus: DataFrame, lang: str = "en") -> DataFrame:
+    """The end-to-end curation pass a training pipeline runs before
+    tokenization: language gate (marker-lexicon argmax == ``lang``), quality
+    gate (length + stopword-ratio), then near-exact dedup on the normalized
+    content fingerprint (lower + whitespace-collapse md5, same normalization
+    as ``fingerprint``) keeping the min-doc_id representative. Emits the
+    surviving (doc_id, text) rows.
+
+    Scale notes (100 TB): both gates are pure expressions applied BEFORE the
+    pass's only shuffle, so the fingerprint aggregation and keeper equi-join
+    see just the gated survivors; nothing collects to the driver and there
+    is no cross join anywhere.
+    """
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    kept = (
+        corpus.filter(
+            (_lang_pred_expr(F.col("text")) == lang)
+            & _quality_keep_expr(F.col("text"))
+        )
+        .withColumn("fp_md5", fp)
+    )
+    keepers = kept.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keepers, ["fp_md5", "doc_id"]).select("doc_id", "text")
 
 
 # Block-level tags whose entire content is boilerplate (dropped content and

@@ -221,6 +221,24 @@ def test_language_id_markers(spark):
     assert out[3] == "und"
 
 
+def test_curate_corpus_gates_and_fingerprint_dedup(spark):
+    """Composed curation: language gate drops non-English, quality gate
+    drops short docs, fingerprint dedup keeps the min-doc_id copy of
+    case/whitespace-equivalent texts."""
+    en = "the cat and the dog are in the house with a mat"
+    docs = spark.createDataFrame(
+        [
+            (1, en),
+            (2, "der hund und die katze und das haus mit der maus ist da"),
+            (3, "the cat"),  # too short
+            (4, "The  CAT and the dog are in the house with a  mat"),  # dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in TA.curate_corpus(docs).collect()}
+    assert got == {1}
+
+
 def test_fingerprint_normalization(spark):
     docs = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
