@@ -200,6 +200,19 @@ def _oracle_decodes_sf001() -> str:
     return oracle_decodes_path(_CORRECTNESS_SF_DIR, profile="small")
 
 
+def _oracle_beam_decodes_sf001() -> str:
+    """Beam-search variant of the materialized decode oracle (profile
+    small_beam — same weights, beam decoding; distinct cache fingerprint)."""
+    from latex_ocr_spark.fixtures.oracle_store import (
+        ensure_oracle_decodes,
+        oracle_decodes_path,
+    )
+
+    if os.path.isdir(_CORRECTNESS_SF_DIR):
+        return ensure_oracle_decodes(_CORRECTNESS_SF_DIR, profile="small_beam")
+    return oracle_decodes_path(_CORRECTNESS_SF_DIR, profile="small_beam")
+
+
 def _oracle_prepro_sf001() -> str:
     from latex_ocr_spark.fixtures.oracle_store import (
         ensure_oracle_prepro,
@@ -666,6 +679,24 @@ def _q_extract_media_decoded(spark, sf_dir):
     )
 
 
+def _q_extract_media_beam(spark, sf_dir):
+    """M7 at the gate: the same media half under beam-search decoding
+    (reference configs/model.json 'decoding' switch, model/components/
+    beam_search.py), hash-checked against the materialized single-process
+    beam oracle — distributed diverse-beam backtrack == oracle, span for
+    span."""
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_decodes
+
+    ensure_oracle_decodes(sf_dir, profile="small_beam")
+    corpus = build_corpus(spark, sf_dir)
+    flat = extract_spans(
+        spark, corpus, cfg=ModelConfig.small(decoding="beam_search")
+    )
+    return flat.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref", F.col("text").alias("latex")
+    )
+
+
 def _q_bucket_histogram(spark, sf_dir):
     """G1: the shape-bucket distribution the batching shuffles on, hash-checked
     against the single-process preprocess ground truth (oracle_prepro parquet —
@@ -843,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "extract_text_passthrough": _q_extract_text_passthrough,
         "extract_media_decoded": _q_extract_media_decoded,
+        "extract_media_beam": _q_extract_media_beam,
         "perplexity": _q_perplexity,
         "bucket_histogram": _q_bucket_histogram,
         "media_image_features": _q_media_image_features,
@@ -1209,6 +1241,13 @@ SELECT doc_id, part, text, "offset" FROM doc_spans WHERE kind = 'text'
 SELECT s.doc_id, s."offset", s.media_ref, o.latex
 FROM doc_spans s
 JOIN read_parquet('{_oracle_decodes_sf001()}') o USING (media_ref)
+WHERE s.kind = 'media'
+""",
+        "extract_media_beam": _CTE
+        + f"""
+SELECT s.doc_id, s."offset", s.media_ref, o.latex
+FROM doc_spans s
+JOIN read_parquet('{_oracle_beam_decodes_sf001()}') o USING (media_ref)
 WHERE s.kind = 'media'
 """,
         "windowed_event_counts": """

@@ -117,6 +117,13 @@ def main() -> None:
             D.minhash_lsh_pairs(dup, threshold=0.5)
         ).count(),
     )
+    bench(
+        "dedup_apply",
+        lambda: D.dedup_apply(
+            dup, D.minhash_lsh_pairs(dup, threshold=0.5)
+        ).count(),
+    )
+    bench("curate_corpus", lambda: TA.curate_corpus(dup).count())
     bench("simhash", lambda: D.simhash_64(dup).count())
     bench("simhash_pairs", lambda: D.simhash_pairs(dup).count())
     bench("cosine_topk", lambda: S.cosine_topk(emb, k=5, n_queries=50).count())

@@ -46,6 +46,10 @@ def _model_cfg(profile: str) -> ModelConfig:
         "reference": ModelConfig.reference,
         "bench": ModelConfig.bench,
         "small": ModelConfig.small,
+        # beam-search decoding variant of the small profile (reference
+        # configs/model.json "decoding" switch); fingerprints distinctly via
+        # the cfg dict, so it gets its own materialized decode cache
+        "small_beam": lambda: ModelConfig.small(decoding="beam_search"),
     }[profile]()
 
 
@@ -185,11 +189,7 @@ def ensure_oracle_decodes(sf_dir: str, profile: str = "small") -> str:
     path = oracle_decodes_path(sf_dir, profile)
     if os.path.exists(path):
         return path
-    cfg = {
-        "reference": ModelConfig.reference,
-        "bench": ModelConfig.bench,
-        "small": ModelConfig.small,
-    }[profile]()
+    cfg = _model_cfg(profile)
     pipe = PipelineConfig()
     model = Model(cfg)
     refs = _media_refs_for(sf_dir)
