@@ -107,6 +107,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-batch exact dedup for streaming ingestion: keyed state per
+    normalized-content fingerprint (lower + whitespace-collapse md5 — the
+    same normalization as the batch ``fingerprint`` / ``curate_corpus``
+    keeper stage) emits only the FIRST-seen document per fingerprint across
+    all micro-batches; duplicates arriving later (replays, re-crawls,
+    mirror copies) are dropped before the expensive extraction path ever
+    sees them.
+
+    State is a single marker per distinct fingerprint — the minimal dedup
+    state a long-running ingestion keeps. At 10^12-doc scale the state
+    store is RocksDB-backed and the grouping key (the 32-char md5) hash
+    -partitions evenly by construction, so no key skew; bound the dedup
+    horizon with a timeout if the corpus outgrows the store (NoTimeout
+    here: the tests' horizons are short).
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "doc_id bigint, fp_md5 string, text string"
+    state_schema = "seen int"
+
+    fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    keyed = docs.select(
+        "doc_id", fp.alias("fp_md5"), F.col(text_col).alias("text")
+    )
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = None  # min doc_id within this batch, for determinism
+        for pdf in pdfs:
+            if state.exists:
+                continue  # fingerprint already admitted in a prior batch
+            for row in pdf.itertuples(index=False):
+                if best is None or row.doc_id < best.doc_id:
+                    best = row
+        if best is not None and not state.exists:
+            state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [best.doc_id],
+                    "fp_md5": [key[0]],
+                    "text": [best.text],
+                }
+            )
+
+    return keyed.groupBy("fp_md5").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def stream_docs(spark: SparkSession, corpus_dir: str) -> DataFrame:
     """File-source stream over the corpus docs table: newly landed parquet
     files under docs/ become micro-batches (the streaming-ingestion front end

@@ -196,3 +196,49 @@ def test_extraction_sink_multi_batch_additive(spark, corpus, tmp_path_factory):
     assert read_extracted(spark, out).count() > n_first
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path_factory):
+    """Cross-batch fingerprint dedup: a duplicate (case/whitespace variant)
+    arriving in a later micro-batch must be dropped; new content passes."""
+    import pandas as pd
+
+    from latex_ocr_spark.streaming import streaming_dedup
+
+    d = tmp_path_factory.mktemp("docs_dedup")
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the cat sat", "unique second doc"]}
+    )
+    b2 = pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["The  CAT  sat", "brand new third doc"]}
+    )
+    files = d / "stream"
+    files.mkdir()
+    sb1 = spark.createDataFrame(b1)
+    sb2 = spark.createDataFrame(b2)
+    sb1.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    sb2.coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    import shutil
+
+    shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
+    shutil.copy(next((d / "p2").glob("*.parquet")), files / "b.parquet")
+    stream = (
+        spark.readStream.schema(sb1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(files))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    }
+    # doc 3 is a case/whitespace duplicate of doc 1 -> dropped
+    assert got == {1, 2, 4}
