@@ -83,9 +83,14 @@ def run_leg(sf_dir: str, cores: int) -> dict:
 
 
 def main() -> None:
+    import time
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     walls: dict[int, list[float]] = {n: [] for n in ALL_CORES}
     colds: dict[int, list[float]] = {n: [] for n in ALL_CORES}
+    # timestamped samples [wall_s, unix_ts] for tools/scaling_windows.py's
+    # paired-same-window estimator (see scaling_big.py note)
+    samples: dict[int, list[list[float]]] = {n: [] for n in ALL_CORES}
     docs = 0
     # accumulate samples across invocations (same estimator, more data): the
     # per-leg min is over every warm wall ever recorded for this sf_dir.
@@ -100,6 +105,7 @@ def main() -> None:
                 for n in ALL_CORES:
                     r = prev.get("runs", {}).get(f"local[{n}]", {})
                     walls[n].extend(r.get("all_warm_walls_s", []))
+                    samples[n].extend(r.get("samples", []))
                     if "cold_wall_s" in r:
                         colds[n].append(r["cold_wall_s"])
         except (ValueError, KeyError):
@@ -109,6 +115,7 @@ def main() -> None:
             leg = run_leg(sf_dir, n)
             docs = leg["docs"]
             walls[n].extend(leg["warms"])
+            samples[n].extend([[w, round(time.time())] for w in leg["warms"]])
             colds[n].append(leg["cold"])
             print(f"round {r} local[{n}]: cold={leg['cold']} warms={leg['warms']}",
                   file=sys.stderr)
@@ -128,6 +135,7 @@ def main() -> None:
             f"local[{n}]": {
                 "warm_wall_s": best[n],
                 "all_warm_walls_s": walls[n],
+                "samples": samples[n],
                 "cold_wall_s": min(colds[n]) if colds[n] else None,
                 "docs_per_sec": round(thr(n), 2),
             }

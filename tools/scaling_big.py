@@ -59,20 +59,29 @@ def run_leg(cores: int) -> dict:
 
 
 def main() -> None:
+    import time
+
     walls: dict[int, list[float]] = {n: [] for n in ALL_CORES}
+    # timestamped samples [wall_s, unix_ts] — lets tools/scaling_windows.py
+    # pair same-window legs, the unbiased estimator when host capacity
+    # varies over time (merged minima are a lower bound when legs converge
+    # unevenly)
+    samples: dict[int, list[list[float]]] = {n: [] for n in ALL_CORES}
     docs = 0
     if os.path.exists(OUT):
         prev = json.load(open(OUT))
         docs = prev.get("docs", 0)
         for n in ALL_CORES:
-            walls[n].extend(
-                prev.get("runs", {}).get(f"local[{n}]", {}).get("all_warm_walls_s", [])
-            )
+            r = prev.get("runs", {}).get(f"local[{n}]", {})
+            walls[n].extend(r.get("all_warm_walls_s", []))
+            samples[n].extend(r.get("samples", []))
     for r in range(ROUNDS):
         for n in CORES:
             leg = run_leg(n)
             docs = leg["docs"]
             walls[n].extend(leg["warms"])
+            now = time.time()
+            samples[n].extend([[w, round(now)] for w in leg["warms"]])
             print(f"round {r} local[{n}]: cold={leg['cold']} warms={leg['warms']}",
                   file=sys.stderr, flush=True)
     legs = [n for n in ALL_CORES if walls[n]]
@@ -85,6 +94,7 @@ def main() -> None:
             f"local[{n}]": {
                 "warm_wall_s": best[n],
                 "all_warm_walls_s": walls[n],
+                "samples": samples[n],
                 "docs_per_sec": round(docs / best[n], 2),
             }
             for n in legs
