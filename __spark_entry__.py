@@ -815,6 +815,14 @@ def _q_tpch_q6(spark, sf_dir):
     return tpch_q6(_tbl(spark, sf_dir, "lineitem"))
 
 
+def _q_tpch_q14(spark, sf_dir):
+    """Q14 promotion effect: conditional aggregation over a broadcast part
+    join — the fact table never shuffles."""
+    from latex_ocr_spark.operators.relational import tpch_q14
+
+    return tpch_q14(_tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -888,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q14": _q_tpch_q14,
     }
 
 
@@ -1373,6 +1382,16 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
+""",
+        "tpch_q14": """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
 """,
         # A2 — per-ref CE rows from the single-process replica; same
         # exp(Σce/Σn) reduction as the Spark side (reference img2seq.py:68-75)

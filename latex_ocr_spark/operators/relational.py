@@ -202,6 +202,37 @@ def tpch_q6(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def tpch_q14(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q14 promotion effect (adapted to the synthetic p_type domain:
+    the exact 'PROMO' class stands in for the spec's 'PROMO%' prefix family).
+    Conditional aggregation over a broadcast-dim join: the part dim is
+    broadcast, the lineitem scan arrives pre-filtered on the shipdate month
+    (predicate pushed to parquet), and the only wide operation is the final
+    scalar aggregation — no shuffle of the fact table at all."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def tpch_q1(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 pricing summary (the canonical groupBy-agg benchmark shape)."""
     return (
