@@ -348,3 +348,38 @@ def test_dedup_components_releases_checkpoint_storage(spark):
     # exactly one new persisted RDD (the returned labels checkpoint) may
     # remain; per-round stepped/labels and the edge tables must be freed
     assert len(jsc.getRDDStorageInfo()) <= before + 1
+
+
+def test_bpe_subword_matches_listwise_reference(spark):
+    """Property check: the marker-string replace-chain implementation must
+    equal a direct list-based greedy BPE (apply merges in rank order over
+    the token list, left-to-right non-overlapping) on seeded random text."""
+    import random
+
+    def bpe_count_py(text: str) -> int:
+        total = 0
+        for word in text.split(" "):
+            toks = list(word)
+            for a, b in TA.BPE_MERGES:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            total += len(toks)
+        return total
+
+    rng = random.Random(42)
+    alphabet = "theandingofmatrswx .,!"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r.n_subwords for r in TA.token_count(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == bpe_count_py(t), (t, got[i], bpe_count_py(t))
