@@ -18,6 +18,17 @@ each other (one round-robin round), and reports per N→4N pair:
     quiet host", the number comparable to a real cluster
   - merged_min_eff: the lower-bound estimator, for contrast
 
+If SCALING_PROBES.jsonl exists (tools/probe_sample.py — timestamped runs of
+the pure-CPU host-ceiling kernel), each pairing additionally gets the
+ceiling measured by the probe nearest in time to the pairing's midpoint
+(within PROBE_GAP seconds), and the report adds:
+
+  - median_norm_eff / quietest_norm_eff: engine efficiency divided by that
+    same-window ceiling — "fraction of what ANY embarrassingly-parallel job
+    could have achieved on this box in that window".  This is the
+    per-window version of BASELINE.md's host normalization; values ~1.0
+    mean the residual is the host, not the engine.
+
 Usage: python tools/scaling_windows.py  (writes SCALING_WINDOWS.json)
 """
 
@@ -31,9 +42,38 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAIRS = ((2, 8), (4, 16), (8, 32))
 MAX_GAP = float(os.environ.get("SCALING_WINDOW_GAP", "1200"))
+PROBE_GAP = float(os.environ.get("SCALING_PROBE_GAP", "1800"))
 
 
-def analyze(path: str) -> dict | None:
+def load_probes() -> list[tuple[float, dict]]:
+    """[(ts, {"8_to_32": ceiling, ...}), ...] from SCALING_PROBES.jsonl."""
+    path = os.path.join(REPO, "SCALING_PROBES.jsonl")
+    if not os.path.exists(path):
+        return []
+    probes = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            probes.append((float(rec["ts"]), rec.get("ceiling_n_to_4n", {})))
+    return probes
+
+
+def nearest_ceiling(
+    probes: list[tuple[float, dict]], key: str, ts: float
+) -> float | None:
+    best = None
+    for pts, ceil in probes:
+        if key not in ceil or abs(pts - ts) > PROBE_GAP:
+            continue
+        if best is None or abs(pts - ts) < abs(best[0] - ts):
+            best = (pts, ceil[key])
+    return best[1] if best else None
+
+
+def analyze(path: str, probes: list[tuple[float, dict]]) -> dict | None:
     if not os.path.exists(path):
         return None
     data = json.load(open(path))
@@ -74,25 +114,48 @@ def analyze(path: str) -> dict | None:
             continue
         effs = [wa / (4.0 * wb) for wa, wb, _ in pairings]
         quiet = min(pairings, key=lambda p: p[0] / med_a + p[1] / med_b)
-        out["pairs"][f"{a}_to_{b}"] = {
+        row = {
             "n_pairs": len(pairings),
             "median_eff": round(statistics.median(effs), 3),
             "quietest_eff": round(quiet[0] / (4.0 * quiet[1]), 3),
             "quietest_walls_s": [quiet[0], quiet[1]],
             "merged_min_eff": merged,
         }
+        # Same-window host-ceiling normalization (see module docstring).
+        # Each pairing needs its own timestamp to find the nearest probe;
+        # recompute pairings keeping the midpoint ts.
+        key = f"{a}_to_{b}"
+        norm = []
+        for wa, ta in sa:
+            for wb, tb in sb:
+                if abs(ta - tb) > MAX_GAP:
+                    continue
+                ceil = nearest_ceiling(probes, key, (ta + tb) / 2.0)
+                if ceil and ceil > 0:
+                    norm.append((wa / (4.0 * wb) / ceil, wa, wb))
+        if norm:
+            nquiet = min(norm, key=lambda p: p[1] / med_a + p[2] / med_b)
+            row["n_pairs_with_probe"] = len(norm)
+            row["median_norm_eff"] = round(
+                statistics.median(e for e, _, _ in norm), 3
+            )
+            row["quietest_norm_eff"] = round(nquiet[0], 3)
+        out["pairs"][key] = row
     return out
 
 
 def main() -> None:
+    probes = load_probes()
     result = {
         k: v
         for k, v in {
-            "sf0.1": analyze(os.path.join(REPO, "SCALING.json")),
-            "big6": analyze(os.path.join(REPO, "SCALING_BIG.json")),
+            "sf0.1": analyze(os.path.join(REPO, "SCALING.json"), probes),
+            "big6": analyze(os.path.join(REPO, "SCALING_BIG.json"), probes),
         }.items()
         if v is not None
     }
+    if probes:
+        result["n_probes"] = len(probes)
     with open(os.path.join(REPO, "SCALING_WINDOWS.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
