@@ -175,6 +175,27 @@ def _make_infer(weights_bc, cfg_dict: dict, budget: int):
     return infer
 
 
+def decode_partitions(cores: int, n_groups_est: int | None = None) -> int:
+    """Decode-exchange partition count (measured, round-robin min-of-rounds
+    at sf0.1): the optimum TRACKS THE GROUP COUNT, not the core count —
+    ~groups/10 (≈60 partitions for ~600 groups) wins at 8, 16 AND 32
+    cores (local[8]: 27.6 s vs 32.3 s with 2×cores; local[16]: 12.0 vs
+    15.4; local[32]: 64 ≈ both formulas). Floor of 2× total cores keeps
+    small corpora from under-splitting. LATEX_OCR_DECODE_FACTOR overrides
+    with a core multiple (A/B knob); LATEX_OCR_DECODE_PARTS pins exactly."""
+    import os as _os
+
+    if _os.environ.get("LATEX_OCR_DECODE_PARTS"):
+        return int(_os.environ["LATEX_OCR_DECODE_PARTS"])
+    if _os.environ.get("LATEX_OCR_DECODE_FACTOR"):
+        return max(
+            int(float(_os.environ["LATEX_OCR_DECODE_FACTOR"]) * cores), 16
+        )
+    if n_groups_est:
+        return max(round(n_groups_est / 10), 2 * cores, 16)
+    return max(2 * cores, 16)
+
+
 def decode_groups(
     prepped: DataFrame,
     weights_bc,
@@ -193,28 +214,8 @@ def decode_groups(
     # (observed: 2 workers for 314 groups). A user-specified count pins the
     # stage's parallelism to the cluster; groups still co-locate because the
     # hash partitioning is on exactly the grouping keys.
-    import os as _os
-
     sc = prepped.sparkSession.sparkContext
-    # Partition count heuristic (measured, round-robin min-of-rounds at
-    # sf0.1): the optimum TRACKS THE GROUP COUNT, not the core count —
-    # ~groups/10 (≈60 partitions for ~600 groups) wins at 8, 16 AND 32
-    # cores (local[8]: 27.6 s vs 32.3 s with 2×cores; local[16]: 12.0 vs
-    # 15.4; local[32]: 64 ≈ both formulas). Floor of 2× total cores keeps
-    # small corpora from under-splitting. LATEX_OCR_DECODE_FACTOR overrides
-    # with a core multiple (A/B knob); LATEX_OCR_DECODE_PARTS pins exactly.
-    if _os.environ.get("LATEX_OCR_DECODE_PARTS"):
-        n_parts = int(_os.environ["LATEX_OCR_DECODE_PARTS"])
-    elif _os.environ.get("LATEX_OCR_DECODE_FACTOR"):
-        n_parts = max(
-            int(float(_os.environ["LATEX_OCR_DECODE_FACTOR"])
-                * sc.defaultParallelism),
-            16,
-        )
-    elif n_groups_est:
-        n_parts = max(round(n_groups_est / 10), 2 * sc.defaultParallelism, 16)
-    else:
-        n_parts = max(2 * sc.defaultParallelism, 16)
+    n_parts = decode_partitions(sc.defaultParallelism, n_groups_est)
 
     return (
         prepped.repartition(n_parts, "bucket_w", "bucket_h", "salt")

@@ -1,0 +1,87 @@
+"""Skew-breaking evidence for the decode stage (north rule: "salts /
+repartitions to break skew from documents with many formula images").
+
+The adversarial input at cluster scale is a corpus whose formula images all
+land in ONE shape bucket — e.g. a template site rendering every formula at
+the same size.  Without the salt, groupBy(bucket) would put the whole corpus
+into a single applyInPandas group = one task = one executor core, no matter
+how many executors the cluster has.  The deterministic per-ref salt
+(crc32(media_ref) % salt_buckets, operators/inference.py:76) must spread
+that hot bucket over ~salt_buckets independent groups with balanced sizes.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.config import PipelineConfig
+from latex_ocr_spark.fixtures.glyphs import render_formula
+from latex_ocr_spark.fixtures.png import encode_png
+from latex_ocr_spark.operators.inference import preprocess_spans
+
+N_MEDIA = 256
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_groups(spark):
+    """Group sizes after prepro+salting of a one-bucket (all-identical-shape)
+    corpus of N_MEDIA media spans across 4 documents."""
+    pipe = PipelineConfig()
+    png = encode_png(render_formula(r"a + b", 1))  # same image => same bucket
+    rows = [
+        (f"doc-{i % 4:04d}", i % 4, i, f"m{i:05d}.png", bytearray(png))
+        for i in range(N_MEDIA)
+    ]
+    feed = spark.createDataFrame(
+        rows, "doc_id string, part int, `offset` int, media_ref string, image binary"
+    )
+    prepped = preprocess_spans(feed.repartition(8), pipe)
+    groups = (
+        prepped.groupBy("bucket_w", "bucket_h", "salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return pipe, groups
+
+
+def test_hot_bucket_is_single_shape(hot_bucket_groups):
+    """The scenario is real: every span landed in exactly one shape bucket."""
+    _, groups = hot_bucket_groups
+    assert len({(g.bucket_w, g.bucket_h) for g in groups}) == 1
+
+
+def test_salt_spreads_hot_bucket(hot_bucket_groups):
+    """The hot bucket fans out over ~salt_buckets groups, not 1."""
+    pipe, groups = hot_bucket_groups
+    n_groups = len(groups)
+    # coupon-collector expectation for 256 refs into 128 cells is ~111
+    # distinct cells; anything >= half the cells proves uniform spreading
+    assert n_groups >= pipe.salt_buckets // 2, n_groups
+    sizes = sorted(g.n for g in groups)
+    assert sum(sizes) == N_MEDIA
+    # balls-in-bins max for 256-into-128 concentrates around 6-7; a max this
+    # small bounds any single task at ~6/256 of the corpus (vs 100% unsalted)
+    assert sizes[-1] <= 16, sizes[-5:]
+
+
+def test_salt_is_deterministic_content_hash(hot_bucket_groups):
+    """Salt derives from media_ref content, not partition placement — the
+    same ref lands in the same group on any cluster layout (resume safety)."""
+    pipe, _ = hot_bucket_groups
+    assert zlib.crc32(b"m00007.png") % pipe.salt_buckets in range(
+        pipe.salt_buckets
+    )
+
+
+def test_decode_partitioning_scales_with_groups(spark):
+    """decode_media partitions the exchange by (bucket, salt): with the
+    default heuristic the shuffle's partition count tracks max(groups/10,
+    2x cores) so one hot bucket can still occupy every core."""
+    from latex_ocr_spark.operators.inference import decode_partitions
+
+    cores = spark.sparkContext.defaultParallelism
+    assert decode_partitions(cores, n_groups_est=1280) == 128
+    assert decode_partitions(cores, n_groups_est=10) == 2 * cores
