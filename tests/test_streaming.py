@@ -218,10 +218,19 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path_factory):
     sb2 = spark.createDataFrame(b2)
     sb1.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
     sb2.coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    import os
     import shutil
+    import time
 
     shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
     shutil.copy(next((d / "p2").glob("*.parquet")), files / "b.parquet")
+    # The file source orders micro-batches by modification time; two copies
+    # in quick succession can tie and flip batch order (doc 3's fingerprint
+    # admitted before doc 1's — observed flaking under full-suite host
+    # load). Force batch 1 strictly older than batch 2.
+    now = time.time()
+    os.utime(files / "a.parquet", (now - 60, now - 60))
+    os.utime(files / "b.parquet", (now, now))
     stream = (
         spark.readStream.schema(sb1.schema)
         .option("maxFilesPerTrigger", 1)
