@@ -168,6 +168,34 @@ def main() -> None:
         "docs_per_sec": round(n_docs / timings["extract_pipeline"], 2),
         "cores": cores,
     }
+
+    # North-rule scaling evidence (two-parallelism-level efficiency): fold
+    # the separately-accumulated campaign summaries into the bench artifact
+    # so BENCH_rN.json carries the numbers next to the throughput they
+    # qualify. SCALING.json = merged per-leg minima (tools/scaling_bench.py);
+    # SCALING_WINDOWS.json = paired same-window estimator, raw + host-ceiling
+    # normalized (tools/scaling_windows.py). Read-only: bench never re-runs
+    # the campaign.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaling: dict = {}
+    try:
+        with open(os.path.join(repo, "SCALING.json")) as f:
+            sc = json.load(f)
+        scaling["merged_min_eff"] = {
+            k.replace("efficiency_", ""): v
+            for k, v in sc.items()
+            if k.startswith("efficiency_")
+        }
+    except (OSError, json.JSONDecodeError):
+        pass
+    try:
+        with open(os.path.join(repo, "SCALING_WINDOWS.json")) as f:
+            scaling["paired_windows"] = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    if scaling:
+        out["scaling"] = scaling
+
     spark.stop()
     print(json.dumps(out))
 
