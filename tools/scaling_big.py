@@ -19,12 +19,20 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF_DIR = os.path.join(REPO, ".fixtures", "sfbig6")
-OUT = os.path.join(REPO, "SCALING_BIG.json")
+# SCALING_BIG_DIR / SCALING_BIG_OUT generalize the tool to other replica
+# factors (e.g. .fixtures/sfbig24 -> SCALING_BIG24.json for the third point
+# on the wall-length vs efficiency trend); each corpus keeps its own merged
+# sample pool.
+SF_DIR = os.environ.get(
+    "SCALING_BIG_DIR", os.path.join(REPO, ".fixtures", "sfbig6")
+)
+OUT = os.environ.get("SCALING_BIG_OUT", os.path.join(REPO, "SCALING_BIG.json"))
 CORES = tuple(int(c) for c in os.environ.get("SCALING_CORES", "8,32").split(","))
 ALL_CORES = (2, 4, 8, 16, 32)
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-WARM_REPS = 2
+# At 24x the per-warm wall is minutes; SCALING_BIG_REPS=1 keeps a round
+# affordable (the cold run already serves as the warm-up).
+WARM_REPS = int(os.environ.get("SCALING_BIG_REPS", "2"))
 
 _LEG = r"""
 import sys, time, json
