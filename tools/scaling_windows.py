@@ -151,6 +151,7 @@ def main() -> None:
         for k, v in {
             "sf0.1": analyze(os.path.join(REPO, "SCALING.json"), probes),
             "big6": analyze(os.path.join(REPO, "SCALING_BIG.json"), probes),
+            "big24": analyze(os.path.join(REPO, "SCALING_BIG24.json"), probes),
         }.items()
         if v is not None
     }
