@@ -37,7 +37,6 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAIRS = ((2, 8), (4, 16), (8, 32))
