@@ -823,6 +823,19 @@ def _q_tpch_q14(spark, sf_dir):
     return tpch_q14(_tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem"))
 
 
+def _q_tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: the HAVING-filtered quantity rollup is
+    reused as the join input (no semi-join back into the fact table);
+    customer dim broadcast — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q18
+
+    return tpch_q18(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
     }
 
 
@@ -1392,6 +1406,18 @@ SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+        "tpch_q18": """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250) q
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
 """,
         # A2 — per-ref CE rows from the single-process replica; same
         # exp(Σce/Σn) reduction as the Spark side (reference img2seq.py:68-75)

@@ -259,3 +259,49 @@ def tpch_q1(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def tpch_q18(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total lineitem
+    quantity exceeds ``threshold``, with their customer, ranked by order
+    value (reference precedent: top-k over aggregated groups, the shape of
+    the reference's vocab min-count + sort, build_vocab.py).
+
+    Plan shape at 100 TB: the only full-fact shuffle is the
+    groupBy(l_orderkey) quantity rollup; its HAVING filter cuts the result
+    to a tiny qualifying set (~1% of orders), so AQE broadcasts it into the
+    orders join at runtime (no static hint — the qualifying-set size is
+    data-dependent, the same no-unconditional-broadcast policy as the LSH
+    candidate join); the customer dim is an explicit broadcast. The spec's
+    correlated `IN (SELECT ... HAVING)` is expressed as the aggregation
+    itself reused as the join input — no second scan of lineitem, no
+    semi-join back against the fact table.
+    """
+    qualifying = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)
+    )
+    return (
+        qualifying.join(orders, qualifying.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )

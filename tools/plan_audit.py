@@ -153,6 +153,31 @@ def main() -> None:
         )
     )
 
+    # 7b. TPC-H Q18: HAVING-filtered rollup reused as join input, customer
+    # dim broadcast, no second lineitem scan / semi-join back into the fact
+    from latex_ocr_spark.operators.relational import tpch_q18
+
+    q18 = tpch_q18(t("customer"), t("orders"), t("lineitem"))
+    q18_plan = plan_of(q18)
+    li_scans = [
+        l for l in q18_plan.splitlines()
+        if "Scan parquet" in l and "lineitem" in l.lower()
+    ] or [
+        l for l in q18_plan.splitlines() if "lineitem.parquet" in l
+    ]
+    sections.append(
+        (
+            "TPC-H Q18",
+            "One lineitem scan only (the quantity rollup is reused as the "
+            f"join input; scans of lineitem: {len(li_scans)} — must be 1); "
+            "customer dim broadcast; qualifying-set join left to AQE.",
+            grep_evidence(
+                q18_plan,
+                ["BroadcastHashJoin", "SortMergeJoin", "HashAggregate", "TakeOrdered"],
+            )[:8],
+        )
+    )
+
     # 8. corpus curation: lang/quality gates evaluated BEFORE the only
     # exchange (fingerprint keeper groupBy) — filter first, shuffle survivors
     from latex_ocr_spark.operators.text_analysis import curate_corpus
