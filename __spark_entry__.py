@@ -72,13 +72,15 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE = "WITH " + spans_duckdb_cte()
 _DUP_CTE = "WITH " + D.CORPUS_WITH_DUPS_CTE_DUCKDB.strip().rstrip(")") + ")"
 
-# DuckDB word-shingle CTE over the planted-dups corpus (mirrors dedup.shingles
-# including the DEFAULT_MAX_SHINGLE_FREQ doc-frequency skew cap; the shingle
-# index comes from scalar range() unnest so there is no length cap to outgrow)
-_SHINGLE_CTE = (
-    _DUP_CTE
-    + f""",
-wordlists AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+# DuckDB word-shingle CTE chain (mirrors dedup.shingles including the
+# DEFAULT_MAX_SHINGLE_FREQ doc-frequency skew cap; the shingle index comes
+# from scalar range() unnest so there is no length cap to outgrow). The
+# chain is parameterized on its source CTE so the planted-dups corpus
+# (standalone dedup oracles) and the curated extraction output (composed
+# training_pipeline oracle) share one definition.
+def _shingle_chain(src: str = "corpus") -> str:
+    return f""",
+wordlists AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 sh0 AS (
   SELECT DISTINCT doc_id,
          (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|' || w[CAST(i AS INT)+2]) AS shingle
@@ -106,13 +108,22 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = doc_b
 )
 """
-)
+
+
+_SHINGLE_CTE = _DUP_CTE + _shingle_chain()
 
 def _bpe_subword_sql(col: str) -> str:
     """DuckDB mirror of TA._bpe_subword_count: identical intersperse +
     rank-order merge-replace chain + MARK/WSEP count difference, built from
-    the same BPE_MERGES fixture table."""
+    the same BPE_MERGES fixture table. Line terminators beyond \\n are
+    stripped first on both engines — Java regex '.' excludes \\r/\\u0085/
+    \\u2028/\\u2029 while RE2 excludes only \\n, so without the shared
+    normalization a CRLF document diverges."""
     m, ws = TA.BPE_MARK, TA.BPE_WSEP
+    col = (
+        f"regexp_replace({col}, "
+        "'[\\r\\x{0085}\\x{2028}\\x{2029}]', '', 'g')"
+    )
     s = f"regexp_replace(replace({col}, ' ', '{ws}'), '(.)', '\\1{m} ', 'g')"
     s = f"(' ' || {s})"
     for a, b in TA.BPE_MERGES:
@@ -124,11 +135,10 @@ def _bpe_subword_sql(col: str) -> str:
 
 
 # Recursive transitive closure over the exact near-dup pair list (small
-# planted clusters) — shared by the dedup_components oracle (keeper per node)
-# and the dedup_apply oracle (corpus anti-join against non-keepers)
-_COMPONENTS_CTE = (
-    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """,
+# planted clusters) — shared by the dedup_components oracle (keeper per node),
+# the dedup_apply oracle (corpus anti-join against non-keepers), and the
+# composed training_pipeline oracle (same chain over the curated corpus)
+_CLOSURE_CHAIN = """,
 prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
 cedges AS (
   SELECT doc_a AS a, doc_b AS b FROM prs
@@ -142,6 +152,9 @@ reach AS (
   SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON r.dst = e.a
 )
 """
+
+_COMPONENTS_CTE = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + _CLOSURE_CHAIN
 )
 
 
@@ -836,6 +849,105 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity revenue: the spec's correlated scalar subquery
+    decorrelated to a per-partkey window average over ONE brand-filtered scan
+    (broadcast part dim) — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q17
+
+    return tpch_q17(_tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """Q22 dormant high-balance customers: scalar-subquery threshold as a
+    1-row broadcast cross join + NOT EXISTS as a LEFT ANTI join (AQE-decided
+    strategy) — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q22
+
+    return tpch_q22(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def _q_running_user_totals(spark, sf_dir):
+    """Arbitrary stateful streaming at the gate: drain the bounded events
+    stream through applyInPandasWithState (update mode, memory sink), then
+    keep each user's FINAL emission — the running count n is monotone per
+    user, so max-n selects it deterministically. Matches the batch oracle
+    exactly because the state carries the unrounded total (rounding happens
+    only at emission)."""
+    from pyspark.sql import Window
+
+    from latex_ocr_spark.streaming import EVENTS_SCHEMA, running_user_totals
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # events.parquet is a single FILE; FileStreamSource derives basePath
+        # from a non-glob path and then requires it to be a directory, so a
+        # plain file path fails. A glob (trailing *) makes the PARENT the
+        # base directory and matches just this file.
+        .load(os.path.join(sf_dir, "events.parquet*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("__rut_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        spark.table("__rut_gate")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _q_training_pipeline(spark, sf_dir):
+    """The composed end-to-end training-data pass, run as ONE lazy plan:
+    extraction (interleaved corpus → text spans + decoded media LaTeX) →
+    per-doc reassembly into flat text (offset order, single space joint) →
+    planted-dup union (same rule as the dedup corpus, so the dedup stages
+    have real work) → curate_corpus (lang + quality gates + fingerprint
+    dedup) → MinHash-LSH near-dup dedup_apply → token_count over the
+    survivors. Every stage is the SAME operator the standalone gate rows
+    check; this row proves they compose."""
+    from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_decodes
+
+    ensure_oracle_decodes(sf_dir, profile="small")
+    corpus = build_corpus(spark, sf_dir)
+    flat = extract_spans(spark, corpus, cfg=ModelConfig.small())
+    rebuilt = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        .select(
+            F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    rebuilt.createOrReplaceTempView("__rebuilt_pipeline")
+    withdups = spark.sql(
+        D.CORPUS_WITH_DUPS_SQL_SPARK.format(src="__rebuilt_pipeline")
+    )
+    curated = TA.curate_corpus(withdups)
+    survivors = D.dedup_apply(
+        curated, D.minhash_lsh_pairs(curated, n=3, threshold=0.5)
+    )
+    return TA.token_count(survivors)
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -910,7 +1022,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
+        "running_user_totals": _q_running_user_totals,
+        "training_pipeline": _q_training_pipeline,
     }
 
 
@@ -1407,6 +1523,41 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
 """,
+        # Q17 adapted: no p_container in the synthetic part table, so the
+        # part predicate is the brand alone; avg threshold is a window avg
+        # (exact: l_quantity sums are integer-exact in double, so both
+        # engines compute the identical threshold)
+        "tpch_q17": """
+SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM (
+  SELECT l_quantity, l_extendedprice,
+         0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey) AS qty_threshold
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+)
+WHERE l_quantity < qty_threshold
+""",
+        # Q22 adapted: no c_phone (country code = c_nationkey) and every
+        # synthetic customer has orders, so NOT EXISTS is parameterized to
+        # orders since 2001-01-01 (dormant customers)
+        "tpch_q22": """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+        "running_user_totals": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+""",
         "tpch_q18": """
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
@@ -1436,5 +1587,60 @@ FROM read_parquet('{_oracle_lsh_sf001()}')
         "ivf_cosine_topk": f"""
 SELECT query_id, neighbor_id, sim, rank
 FROM read_parquet('{_oracle_ivf_sf001()}')
+""",
+        # Composed end-to-end pass: rebuild each doc from its extracted spans
+        # (text spans verbatim, media spans via the materialized decode
+        # oracle), plant the standard dup family, replay the curate gates,
+        # then the SAME shingle→jaccard→closure chain as the dedup oracles
+        # over the CURATED corpus, and token-count the survivors.
+        "training_pipeline": "WITH RECURSIVE "
+        + spans_duckdb_cte()
+        + f""",
+rebuilt0 AS (
+  SELECT s.doc_id AS sid,
+         string_agg(COALESCE(s.text, o.latex), ' ' ORDER BY s."offset") AS text
+  FROM doc_spans s
+  LEFT JOIN read_parquet('{_oracle_decodes_sf001()}') o
+    ON s.media_ref = o.media_ref
+  GROUP BY s.doc_id
+),
+rebuilt AS (
+  SELECT CAST(string_split(sid, '-')[2] AS BIGINT) AS doc_id, text
+  FROM rebuilt0
+),
+pipe_corpus AS (
+  SELECT doc_id, text FROM rebuilt
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[6:], ' ') AS text
+  FROM rebuilt WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM rebuilt WHERE doc_id % 15 = 0
+),
+gated AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM (SELECT doc_id, text, {score_cols} FROM pipe_corpus)
+  WHERE (CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END) = 'en'
+    AND len(string_split(text, ' ')) >= 8
+    AND round(CAST(({stop_hits}) AS DOUBLE) / len(string_split(text, ' ')), 4) >= 0.05
+),
+curated AS (
+  SELECT g.doc_id, g.text FROM gated g
+  JOIN (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
+    ON g.fp = k.fp AND g.doc_id = k.doc_id
+)"""
+        + _shingle_chain("curated")
+        + _CLOSURE_CHAIN
+        + f""",
+comp AS (
+  SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src
+)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
+       CAST({_bpe_subword_sql("text")} AS BIGINT) AS n_subwords,
+       CAST(length(text) AS INT) AS n_chars
+FROM curated
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
 """,
     }

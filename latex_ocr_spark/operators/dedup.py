@@ -16,6 +16,8 @@ equi-join; exact verification joins only candidate pairs. Skewed shingles
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -272,6 +274,9 @@ def minhash_lsh_pairs(
     return candidate_jaccard(candidates, sh, threshold)
 
 
+_FREE_CKPT_WARNED = False
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the block-manager storage behind a localCheckpoint'd frame.
 
@@ -280,15 +285,32 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     ContextCleaner notices the RDD is unreachable — on a long iterative job
     that means monotonic storage growth across rounds. The plan of a
     localCheckpoint'd DataFrame is a single LogicalRDD leaf whose ``rdd`` is
-    exactly the persisted RDD; unpersist it directly. Best-effort: if the
-    plan shape ever differs we fall back to GC-driven cleanup.
+    exactly the persisted RDD; unpersist it directly (blocking — the label
+    frames are tiny, and synchronous release keeps getRDDStorageInfo
+    deterministic for callers/tests). Best-effort: if the plan shape ever
+    differs (Spark Connect, a future analyzer change) we fall back to
+    GC-driven cleanup and warn ONCE so the regression is visible instead of
+    silently reinstating unbounded per-round checkpoint-storage growth.
     """
+    global _FREE_CKPT_WARNED
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
+            plan.rdd().unpersist(True)
+            return
+        reason = f"plan leaf is {plan.getClass().getSimpleName()}"
+    except Exception as exc:  # pragma: no cover - internals moved
+        reason = repr(exc)
+    if not _FREE_CKPT_WARNED:
+        _FREE_CKPT_WARNED = True
+        warnings.warn(
+            "dedup_components: LogicalRDD fast-path for releasing "
+            f"localCheckpoint storage did not apply ({reason}); falling "
+            "back to GC-driven cleanup — checkpoint blocks may accumulate "
+            "across rounds on long jobs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def dedup_components(pairs: DataFrame) -> DataFrame:

@@ -305,3 +305,80 @@ def tpch_q18(
         )
         .limit(100)
     )
+
+
+def tpch_q17(
+    part: DataFrame, lineitem: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted to the synthetic part
+    schema: no p_container column, so the part predicate is the brand alone).
+
+    The spec's correlated scalar subquery — ``l_quantity < 0.2 * (SELECT
+    avg(l_quantity) ... WHERE l2.l_partkey = p_partkey)`` — decorrelates to
+    a per-partkey window average over the SAME filtered fact subset. Plan
+    shape at 100 TB: the tiny brand-filtered part dim is an explicit
+    broadcast, so the fact is scanned ONCE (projection pruned to 3 columns,
+    brand membership applied map-side); the window's partitionBy(l_partkey)
+    is the pass's only shuffle and carries just the ~1/brand-count slice of
+    the fact. The alternative (separate avg-aggregate joined back) scans the
+    fact twice for the same shuffle volume — strictly worse.
+    """
+    parts_f = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    lp = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        lp.withColumn("qty_threshold", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def tpch_q22(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (adapted: the synthetic customer
+    table has no c_phone, so "country code" is c_nationkey, and because every
+    synthetic customer has at least one order the spec's NOT EXISTS over ALL
+    orders is parameterized to orders since ``cutoff`` — dormant
+    high-balance customers).
+
+    Two correlated-subquery decorrelations in one query:
+    - the scalar subquery ``c_acctbal > (SELECT avg(c_acctbal) WHERE
+      c_acctbal > 0)`` becomes a 1-row aggregate cross-joined in as an
+      explicit broadcast (no driver collect — the threshold never leaves
+      the cluster);
+    - the ``NOT EXISTS (orders since cutoff)`` becomes a LEFT ANTI join on
+      the distinct recent-customer set. Its size is data-dependent (cutoff
+      moves it anywhere between 0 and |customer|), so no static broadcast
+      hint — AQE picks the strategy from runtime stats, the same policy as
+      the LSH-candidate and Q18 qualifying-set joins.
+    """
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit(cutoff))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

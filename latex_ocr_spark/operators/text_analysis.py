@@ -79,8 +79,16 @@ def _bpe_subword_count(text_col):
     (JVM-side, no UDF): intersperse MARK+space after every char, fold the
     merge table in rank order as replace()s, then count = #MARK − #WSEP
     (word-separator tokens are not subwords). Mirrored char-for-char in the
-    DuckDB oracle."""
-    s = F.replace(text_col, F.lit(" "), F.lit(BPE_WSEP))
+    DuckDB oracle.
+
+    Line terminators are stripped first: Java regex ``.`` excludes \\r,
+    \\u0085, \\u2028, \\u2029 while RE2 (DuckDB) excludes only \\n, so a CRLF
+    document would get \\r marked by the oracle but not by Spark. Dropping
+    them on BOTH engines (same regexp_replace) keeps the intersperse
+    identical; \\n itself is excluded by ``.`` on both engines, so it needs
+    no normalization."""
+    s = F.regexp_replace(text_col, "[\r\u0085\u2028\u2029]", "")
+    s = F.replace(s, F.lit(" "), F.lit(BPE_WSEP))
     s = F.regexp_replace(s, "(.)", "$1" + BPE_MARK + " ")
     s = F.concat(F.lit(" "), s)
     for a, b in BPE_MERGES:

@@ -84,7 +84,12 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
     State schema (n bigint, total double) persists across batches in the
     state store — the arbitrary-stateful-processing surface the brief calls
-    for (the reference has no streaming; this extends the engine)."""
+    for (the reference has no streaming; this extends the engine).
+
+    State keeps the UNROUNDED running total; rounding happens only at
+    emission. Rounding inside the state would compound a per-batch rounding
+    error across micro-batches, so the final emission could drift from the
+    batch ground truth round(sum(value), 4)."""
     from pyspark.sql.streaming.state import GroupState
 
     out_schema = "user_id bigint, n bigint, total double"
@@ -97,7 +102,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 4)))
+        state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n": [n], "total": [round(total, 4)]}
         )
@@ -107,7 +112,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_dedup(
+    docs: DataFrame, text_col: str = "text", state_ttl_ms: int | None = None
+) -> DataFrame:
     """Cross-batch exact dedup for streaming ingestion: keyed state per
     normalized-content fingerprint (lower + whitespace-collapse md5 — the
     same normalization as the batch ``fingerprint`` / ``curate_corpus``
@@ -119,14 +126,28 @@ def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     State is a single marker per distinct fingerprint — the minimal dedup
     state a long-running ingestion keeps. At 10^12-doc scale the state
     store is RocksDB-backed and the grouping key (the 32-char md5) hash
-    -partitions evenly by construction, so no key skew; bound the dedup
-    horizon with a timeout if the corpus outgrows the store (NoTimeout
-    here: the tests' horizons are short).
+    -partitions evenly by construction, so no key skew.
+
+    ``state_ttl_ms`` bounds the dedup horizon so state does not grow
+    unboundedly on a long-running stream: each fingerprint's marker expires
+    ``state_ttl_ms`` of processing time after it was LAST seen (seeing a
+    duplicate refreshes the clock — hot content stays deduped, cold
+    fingerprints age out). After expiry the same content is admitted (and
+    emitted) again — the standard sliding-horizon dedup trade-off. None
+    (default) keeps state forever, matching batch-exact semantics.
+
+    Operational note: with ProcessingTimeTimeout the engine schedules
+    no-data micro-batches on every trigger so idle keys can expire — that
+    is what makes the TTL fire on a quiet source, but it also means an
+    ``availableNow``/``processAllAvailable`` drain never reaches a terminal
+    state; run TTL'd dedup as a continuously-triggered query (see
+    tests/test_streaming.py::test_streaming_dedup_ttl_expires_state).
     """
     from pyspark.sql.streaming.state import GroupState
 
     out_schema = "doc_id bigint, fp_md5 string, text string"
     state_schema = "seen int"
+    timeout_conf = "NoTimeout" if state_ttl_ms is None else "ProcessingTimeTimeout"
 
     fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     keyed = docs.select(
@@ -136,25 +157,38 @@ def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def first_seen(key, pdfs, state: GroupState):
         import pandas as pd
 
-        best = None  # min doc_id within this batch, for determinism
-        for pdf in pdfs:
-            if state.exists:
-                continue  # fingerprint already admitted in a prior batch
-            for row in pdf.itertuples(index=False):
-                if best is None or row.doc_id < best.doc_id:
-                    best = row
-        if best is not None and not state.exists:
+        if state.hasTimedOut:
+            # no data for this fingerprint within the TTL — drop the marker;
+            # the next arrival of this content is admitted afresh
+            state.remove()
+            return
+        admitted = state.exists
+        if admitted:
+            for _ in pdfs:  # duplicates of an already-admitted fingerprint
+                pass
+        else:
+            chunks = list(pdfs)
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            # vectorized min-doc_id pick (determinism within a batch);
+            # no per-row Python loop
+            best = batch.loc[batch["doc_id"].idxmin()]
             state.update((1,))
             yield pd.DataFrame(
                 {
-                    "doc_id": [best.doc_id],
+                    "doc_id": [int(best["doc_id"])],
                     "fp_md5": [key[0]],
-                    "text": [best.text],
+                    "text": [best["text"]],
                 }
             )
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
 
     return keyed.groupBy("fp_md5").applyInPandasWithState(
-        first_seen, out_schema, state_schema, "update", "NoTimeout"
+        first_seen, out_schema, state_schema, "update", timeout_conf
     )
 
 

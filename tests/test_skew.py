@@ -44,18 +44,19 @@ def hot_bucket_groups(spark):
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    return pipe, groups
+    ref_salts = prepped.select("media_ref", "salt").collect()
+    return pipe, groups, ref_salts
 
 
 def test_hot_bucket_is_single_shape(hot_bucket_groups):
     """The scenario is real: every span landed in exactly one shape bucket."""
-    _, groups = hot_bucket_groups
+    _, groups, _ = hot_bucket_groups
     assert len({(g.bucket_w, g.bucket_h) for g in groups}) == 1
 
 
 def test_salt_spreads_hot_bucket(hot_bucket_groups):
     """The hot bucket fans out over ~salt_buckets groups, not 1."""
-    pipe, groups = hot_bucket_groups
+    pipe, groups, _ = hot_bucket_groups
     n_groups = len(groups)
     # coupon-collector expectation for 256 refs into 128 cells is ~111
     # distinct cells; anything >= half the cells proves uniform spreading
@@ -69,11 +70,20 @@ def test_salt_spreads_hot_bucket(hot_bucket_groups):
 
 def test_salt_is_deterministic_content_hash(hot_bucket_groups):
     """Salt derives from media_ref content, not partition placement — the
-    same ref lands in the same group on any cluster layout (resume safety)."""
-    pipe, _ = hot_bucket_groups
-    assert zlib.crc32(b"m00007.png") % pipe.salt_buckets in range(
-        pipe.salt_buckets
-    )
+    same ref lands in the same group on any cluster layout (resume safety).
+
+    Asserts the production salt column equals the documented formula
+    crc32(media_ref) % salt_buckets for EVERY row, plus one pinned literal
+    so a silent formula change (different hash, different encoding, different
+    modulus) fails loudly rather than tautologically passing."""
+    pipe, _, ref_salts = hot_bucket_groups
+    assert len(ref_salts) == N_MEDIA
+    for row in ref_salts:
+        assert row.salt == zlib.crc32(row.media_ref.encode()) % pipe.salt_buckets
+    # pinned: zlib.crc32(b"m00007.png") == 0x..., % 128 == 127
+    assert pipe.salt_buckets == 128
+    by_ref = {r.media_ref: r.salt for r in ref_salts}
+    assert by_ref["m00007.png"] == 127
 
 
 def test_decode_partitioning_scales_with_groups(spark):

@@ -251,3 +251,77 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path_factory):
     }
     # doc 3 is a case/whitespace duplicate of doc 1 -> dropped
     assert got == {1, 2, 4}
+
+
+def test_streaming_dedup_ttl_expires_state(spark, tmp_path_factory):
+    """state_ttl_ms bounds the dedup horizon: a fingerprint whose marker sat
+    idle past the TTL is evicted (ProcessingTimeTimeout), so the same content
+    arriving after expiry is admitted AGAIN.
+
+    One continuous query (with ProcessingTimeTimeout the engine runs no-data
+    micro-batches on every trigger, which is exactly what fires the timeout
+    while the source is quiet — but it also means processAllAvailable/
+    availableNow never see a terminal state, so the test polls the emitted
+    set instead of draining):
+
+      t=0       doc 1 "same text"  -> admitted, marker set (TTL 1 s)
+      [~3 s quiet  >> TTL: an empty batch fires the timeout, marker evicted]
+      t=3       doc 3 "same text"  -> re-admitted (horizon passed)
+
+    Without the TTL, doc 3 would be dropped (see the first-seen test)."""
+    import time
+
+    import pandas as pd
+
+    from latex_ocr_spark.streaming import streaming_dedup
+
+    d = tmp_path_factory.mktemp("docs_dedup_ttl")
+    files = d / "stream"
+    files.mkdir()
+    ckpt = str(d / "ckpt")
+
+    def land(name: str, doc_id: int, text: str) -> None:
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [doc_id], "text": [text]})
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(d / name))
+        import shutil
+
+        shutil.copy(
+            next((d / name).glob("*.parquet")), files / f"{name}.parquet"
+        )
+
+    schema = "doc_id bigint, text string"
+    emitted: set[int] = set()
+
+    def emit(batch_df, batch_id):
+        emitted.update(r.doc_id for r in batch_df.collect())
+
+    def wait_for(doc_id: int, deadline_s: float = 120.0) -> None:
+        t0 = time.time()
+        while doc_id not in emitted:
+            assert time.time() - t0 < deadline_s, (
+                f"doc {doc_id} not emitted within {deadline_s}s: {emitted}"
+            )
+            time.sleep(0.5)
+
+    land("p1", 1, "same text")
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(files))
+    )
+    q = (
+        streaming_dedup(stream, state_ttl_ms=1000)
+        .writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        wait_for(1)
+        time.sleep(3.0)  # > TTL: doc 1's marker ages out in an empty batch
+        land("p3", 3, "same text")
+        # re-admitted despite the identical fingerprint -> marker was evicted
+        wait_for(3)
+    finally:
+        q.stop()
+    assert emitted == {1, 3}
