@@ -908,44 +908,22 @@ def _q_running_user_totals(spark, sf_dir):
 
 
 def _q_training_pipeline(spark, sf_dir):
-    """The composed end-to-end training-data pass, run as ONE lazy plan:
-    extraction (interleaved corpus → text spans + decoded media LaTeX) →
-    per-doc reassembly into flat text (offset order, single space joint) →
-    planted-dup union (same rule as the dedup corpus, so the dedup stages
-    have real work) → curate_corpus (lang + quality gates + fingerprint
-    dedup) → MinHash-LSH near-dup dedup_apply → token_count over the
-    survivors. Every stage is the SAME operator the standalone gate rows
-    check; this row proves they compose."""
+    """The composed end-to-end training-data pass: extraction (interleaved
+    corpus → text spans + decoded media LaTeX) → per-doc reassembly into
+    flat text (offset order, single space joint) → planted-dup union (same
+    rule as the dedup corpus, so the dedup stages have real work) →
+    curate_corpus (lang + quality gates + fingerprint dedup) → MinHash-LSH
+    near-dup dedup_apply → token_count over the survivors. Every stage is
+    the SAME operator the standalone gate rows check; this row proves they
+    compose — see latex_ocr_spark/pipeline.py:composed_training_pipeline
+    for the persist hygiene that keeps the decode subtree single-execution
+    across the five downstream references."""
     from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_decodes
+    from latex_ocr_spark.pipeline import composed_training_pipeline
 
     ensure_oracle_decodes(sf_dir, profile="small")
     corpus = build_corpus(spark, sf_dir)
-    flat = extract_spans(spark, corpus, cfg=ModelConfig.small())
-    rebuilt = (
-        flat.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("offset", "text"))),
-                    lambda s: s["text"],
-                ),
-            ).alias("text")
-        )
-        .select(
-            F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
-            "text",
-        )
-    )
-    rebuilt.createOrReplaceTempView("__rebuilt_pipeline")
-    withdups = spark.sql(
-        D.CORPUS_WITH_DUPS_SQL_SPARK.format(src="__rebuilt_pipeline")
-    )
-    curated = TA.curate_corpus(withdups)
-    survivors = D.dedup_apply(
-        curated, D.minhash_lsh_pairs(curated, n=3, threshold=0.5)
-    )
-    return TA.token_count(survivors)
+    return composed_training_pipeline(spark, corpus, cfg=ModelConfig.small())
 
 
 def _q_windowed_event_counts(spark, sf_dir):

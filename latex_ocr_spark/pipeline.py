@@ -181,3 +181,56 @@ def extract_documents(
     """Full pipeline output: (doc_id, part, spans) span-sequence per document."""
     flat = extract_spans(spark, corpus_dir, cfg, pipe, parts, weights_bc)
     return reassemble(flat)
+
+
+def composed_training_pipeline(
+    spark: SparkSession, corpus_dir: str, cfg: ModelConfig | None = None
+) -> DataFrame:
+    """The composed end-to-end training-data pass a data team schedules
+    daily (reference analog: the full build→evaluate chain,
+    /root/reference/makefile:31-44): extraction (text spans + decoded media
+    LaTeX) → per-doc reassembly into flat text → planted-dup union (the
+    standard dedup-corpus rule, so the dedup stages have real work) →
+    curate_corpus → MinHash-LSH dedup_apply → token_count over survivors.
+
+    Composition hygiene: the reassembled corpus is persisted — the dup
+    union references it three times and the dedup stage twice more, and
+    without the persist every branch re-runs the expensive decode subtree
+    (measured: 12 decode stages in the unpersisted composed plan). The
+    curated frame is persisted for the same reason (corpus side AND pair
+    side of the dedup consume it). Both frames are tiny relative to the
+    media they derive from (doc_id + flat text), so at 100 TB these caches
+    are the per-executor working set of the reassembled TEXT, not the
+    images — the decode output is exactly what a real pipeline would
+    checkpoint to distributed storage between stages.
+    """
+    from .operators import dedup as D
+    from .operators import text_analysis as TA
+
+    flat = extract_spans(spark, corpus_dir, cfg=cfg)
+    rebuilt = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        .select(
+            F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
+            "text",
+        )
+        .persist()
+    )
+    rebuilt.createOrReplaceTempView("__rebuilt_pipeline")
+    withdups = spark.sql(
+        D.CORPUS_WITH_DUPS_SQL_SPARK.format(src="__rebuilt_pipeline")
+    )
+    curated = TA.curate_corpus(withdups).persist()
+    survivors = D.dedup_apply(
+        curated, D.minhash_lsh_pairs(curated, n=3, threshold=0.5)
+    )
+    return TA.token_count(survivors)

@@ -220,6 +220,33 @@ def main() -> None:
         )
     )
 
+    # 9b. composed daily pipeline: extraction → curate → dedup_apply →
+    # token_count as one job. Composition is where plan regressions hide:
+    # the reassembled corpus feeds five downstream branches (3 dup-union
+    # arms + both sides of the dedup), so without the persist the decode
+    # subtree executes per branch. Evidence: zero cartesians anywhere, and
+    # InMemoryTableScan nodes proving every branch reads the cached
+    # reassembled/curated frames instead of re-running the decode.
+    from latex_ocr_spark.pipeline import composed_training_pipeline
+
+    tp = composed_training_pipeline(spark, corpus, cfg=ModelConfig.small())
+    tp_plan = plan_of(tp)
+    tp_cross = grep_evidence(tp_plan, ["CartesianProduct", "BroadcastNestedLoop"])
+    tp_imts = tp_plan.count("InMemoryTableScan")
+    sections.append(
+        (
+            "Composed daily pipeline (`composed_training_pipeline`)",
+            "extraction → reassembly → dup-union → curate_corpus → "
+            "MinHash-LSH dedup_apply → token_count in one job (cartesian "
+            f"matches: {len(tp_cross)} — must be 0; InMemoryTableScan "
+            f"nodes: {tp_imts} — must be > 0, every downstream branch "
+            "reads the persisted reassembled/curated frames, so the "
+            "decode subtree executes once, not once per branch).",
+            grep_evidence(
+                tp_plan, ["InMemoryTableScan", "LeftAnti", "CartesianProduct"]
+            )[:8],
+        )
+    )
     # 10. MEASURED decode-shuffle volume (not just plan shape): run the
     # flagship extraction under a job group and read per-stage shuffle
     # read/write bytes from the status REST API. The (bucket, salt)
