@@ -14,6 +14,11 @@ resume, /root/reference/model/utils/image.py:238-245, model/base.py:33-48).
 
 Local smoke run (no cluster):
     python job.py --input <corpus_dir> --output /tmp/out --local --profile small
+
+Two stages (--stage): ``extract`` (default, per-partition resumable) and
+``curate`` (read an extraction output, write the curated + near-dup-deduped +
+token-budgeted training corpus — the downstream daily job); ``all`` chains
+them through the same output dir.
 """
 
 from __future__ import annotations
@@ -44,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--input", required=True, help="corpus dir (docs/ + media/)")
     ap.add_argument("--output", required=True, help="output dir (docs/ + _checkpoint/)")
+    ap.add_argument("--stage", default="extract",
+                    choices=["extract", "curate", "all"],
+                    help="extract: resumable per-partition extraction (default). "
+                         "curate: read an extraction OUTPUT dir as --input and "
+                         "write the curated+deduped+token-budgeted corpus to "
+                         "--output/curated. all: extraction into --output, then "
+                         "curation from it into the same dir — the composed "
+                         "daily pipeline.")
     ap.add_argument("--parts", type=int, nargs="*", default=None,
                     help="explicit partition list (default: all, minus completed)")
     ap.add_argument("--profile", default="reference",
@@ -79,19 +92,31 @@ def main(argv: list[str] | None = None) -> int:
             from latex_ocr_spark.operators.checkpoint import clear_checkpoint
 
             clear_checkpoint(spark, args.output)
-        before = completed_parts(spark, args.output)
-        processed = run_with_checkpoint(
-            spark,
-            args.input,
-            args.output,
-            cfg=build_config(args.profile, args.decoding),
-            parts=args.parts,
-        )
-        print(
-            f"done: {len(processed)} partition(s) processed this run "
-            f"({len(before)} already complete, skipped); output at "
-            f"{os.path.join(args.output, 'docs')}"
-        )
+        if args.stage in ("extract", "all"):
+            before = completed_parts(spark, args.output)
+            processed = run_with_checkpoint(
+                spark,
+                args.input,
+                args.output,
+                cfg=build_config(args.profile, args.decoding),
+                parts=args.parts,
+            )
+            print(
+                f"done: {len(processed)} partition(s) processed this run "
+                f"({len(before)} already complete, skipped); output at "
+                f"{os.path.join(args.output, 'docs')}"
+            )
+        if args.stage in ("curate", "all"):
+            from latex_ocr_spark.operators.checkpoint import run_curation
+
+            extracted = args.input if args.stage == "curate" else args.output
+            stats = run_curation(spark, extracted, args.output)
+            print(
+                f"curated: {stats['n_docs']} surviving docs, "
+                f"{stats['n_words']} words / {stats['n_tokens']} subwords / "
+                f"{stats['n_chars']} chars in {stats['wall_s']}s; output at "
+                f"{os.path.join(args.output, 'curated')}"
+            )
         return 0
     finally:
         # getOrCreate may have handed us a caller's session (embedded use /

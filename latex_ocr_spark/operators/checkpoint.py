@@ -187,3 +187,61 @@ def run_with_checkpoint(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite)
     return processed
+
+
+def run_curation(
+    spark: SparkSession, extracted_dir: str, out_dir: str
+) -> dict:
+    """Curation stage of the daily pipeline (job.py --stage curate): read an
+    extraction output (``extracted_dir/docs`` — the per-partition parquet
+    ``run_with_checkpoint`` writes), flatten each document's offset-ordered
+    span sequence to training text, run curate → near-dup dedup →
+    token-budget (``pipeline.curate_and_budget``), and write the surviving
+    corpus to ``out_dir/curated`` with a lineage record alongside.
+
+    Reading the extraction CHECKPOINT rather than recomputing extraction is
+    the production contract: the two stages are separate daily jobs and the
+    decode output is materialized storage between them. The write is an
+    idempotent overwrite (the stage is one corpus-wide pass — unlike
+    extraction there is no per-partition restart unit, because the dedup
+    join is global by nature); lineage metrics ride the write job via
+    ``observe`` so the output parquet is never re-read."""
+    from ..pipeline import curate_and_budget
+
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:8]
+    docs = spark.read.parquet(os.path.join(extracted_dir, "docs"))
+    flat_text = docs.select(
+        F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform("spans", lambda s: s["text"])
+        ).alias("text"),
+    )
+    budget = curate_and_budget(flat_text, keep_text=True)
+    obs = Observation(f"curate-{run_id}")
+    observed = budget.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    observed.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "curated")
+    )
+    stats = obs.get
+    row = {
+        "part": -1,  # corpus-wide stage; keyed -1 in the shared lineage table
+        "status": "curated",
+        "n_docs": int(stats["n_docs"] or 0),
+        "n_images": 0,
+        "n_tokens": int(stats["n_subwords"] or 0),
+        "wall_s": round(time.time() - t0, 3),
+        "run_id": run_id,
+    }
+    _append_checkpoint(spark, out_dir, row)
+    return {
+        **row,
+        "n_words": int(stats["n_words"] or 0),
+        "n_chars": int(stats["n_chars"] or 0),
+    }

@@ -119,13 +119,16 @@ def _count_words(text_col, words: list[str]):
     ).cast("long")
 
 
-def token_count(corpus: DataFrame) -> DataFrame:
+def token_count(corpus: DataFrame, keep_text: bool = False) -> DataFrame:
     """Whitespace tokens + deterministic greedy-BPE subword count
     (BPE_MERGES fixture table, rank-order application) per document —
-    the number a training pipeline budgets against."""
+    the number a training pipeline budgets against. ``keep_text`` carries
+    the document text through (the materialized-corpus sink wants text +
+    budget; the gate query wants the counts alone)."""
     words = F.split(F.col("text"), " ")
+    cols = ["doc_id"] + (["text"] if keep_text else [])
     return corpus.select(
-        "doc_id",
+        *cols,
         F.size(F.filter(words, lambda w: w != "")).alias("n_words"),
         _bpe_subword_count(F.col("text")).alias("n_subwords"),
         F.length("text").alias("n_chars"),

@@ -205,7 +205,6 @@ def composed_training_pipeline(
     checkpoint to distributed storage between stages.
     """
     from .operators import dedup as D
-    from .operators import text_analysis as TA
 
     flat = extract_spans(spark, corpus_dir, cfg=cfg)
     rebuilt = (
@@ -229,8 +228,26 @@ def composed_training_pipeline(
     withdups = spark.sql(
         D.CORPUS_WITH_DUPS_SQL_SPARK.format(src="__rebuilt_pipeline")
     )
-    curated = TA.curate_corpus(withdups).persist()
+    return curate_and_budget(withdups)
+
+
+def curate_and_budget(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Curation + near-dup dedup + token budget over a (doc_id, text)
+    corpus — the downstream half of the daily pipeline, shared by the
+    composed gate query and the ``job.py --stage curate`` production path:
+    curate_corpus (language + quality gates + exact fingerprint dedup) →
+    MinHash-LSH pair generation → dedup_apply (keeper-only corpus) →
+    token_count (words / greedy-BPE subwords / chars per survivor).
+
+    The curated frame is persisted because BOTH sides of the near-dup
+    stage consume it (the corpus being filtered and the pair-generation
+    input); without the persist the curation gates and their upstream
+    recompute once per side."""
+    from .operators import dedup as D
+    from .operators import text_analysis as TA
+
+    curated = TA.curate_corpus(docs).persist()
     survivors = D.dedup_apply(
         curated, D.minhash_lsh_pairs(curated, n=3, threshold=0.5)
     )
-    return TA.token_count(survivors)
+    return TA.token_count(survivors, keep_text=keep_text)

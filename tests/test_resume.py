@@ -106,3 +106,63 @@ def test_job_cli_end_to_end_and_resume(spark, tmp_path_factory):
     assert rc == 0
     assert completed_parts(spark, out) == done
     assert spark.read.parquet(f"{out}/docs").count() == n_docs
+
+
+def test_job_cli_curate_stage(spark, tmp_path_factory):
+    """job.py --stage all: extraction then curation through one output dir.
+    The curated sink carries text + token budget, its lineage row lands in
+    the shared checkpoint table (part=-1, status=curated, never confuses
+    partition resume), and it agrees with curate_and_budget run directly
+    over the flattened extraction output. Re-running the curate stage
+    overwrites idempotently."""
+    import job
+    from latex_ocr_spark.operators.checkpoint import completed_parts
+    from latex_ocr_spark.pipeline import curate_and_budget
+    from latex_ocr_spark.sources import build_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = build_corpus(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("job_curate"))
+    rc = job.main(
+        ["--input", corpus, "--output", out, "--local", "--cores", "8",
+         "--profile", "small", "--stage", "all"]
+    )
+    assert rc == 0
+    done = completed_parts(spark, out)
+    assert done, "extraction stage must checkpoint partitions"
+
+    curated = spark.read.parquet(f"{out}/curated")
+    assert set(curated.columns) == {
+        "doc_id", "text", "n_words", "n_subwords", "n_chars"
+    }
+    n = curated.count()
+    assert n > 0
+
+    # lineage: exactly one curated row, and resume bookkeeping is untouched
+    rows = [r for r in _load_ckpt(out) if r["status"] == "curated"]
+    assert len(rows) == 1 and rows[0]["part"] == -1
+    assert rows[0]["n_docs"] == n
+    assert completed_parts(spark, out) == done
+
+    # agreement with the library path over the same extraction output
+    docs = spark.read.parquet(f"{out}/docs")
+    flat_text = docs.select(
+        F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform("spans", lambda s: s["text"])
+        ).alias("text"),
+    )
+    expect = {
+        (r.doc_id, r.n_subwords)
+        for r in curate_and_budget(flat_text).collect()
+    }
+    got = {(r.doc_id, r.n_subwords) for r in curated.collect()}
+    assert got == expect
+
+    # idempotent re-run of the standalone curate stage over the same input
+    rc = job.main(
+        ["--input", out, "--output", out, "--local", "--cores", "8",
+         "--stage", "curate"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/curated").count() == n
