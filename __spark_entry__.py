@@ -926,6 +926,38 @@ def _q_training_pipeline(spark, sf_dir):
     return composed_training_pipeline(spark, corpus, cfg=ModelConfig.small())
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Cross-batch streaming dedup at the gate: materialize the planted-dups
+    corpus to one parquet file (cached per sf dir — a single file means one
+    availableNow micro-batch, so first-seen is deterministically the min
+    doc_id per fingerprint), drain it through the
+    applyInPandasWithState dedup operator, and hash-check the admitted set
+    against the batch first-seen rule — latex_ocr_spark/streaming.py."""
+    from latex_ocr_spark.sources import corpus_dir
+    from latex_ocr_spark.streaming import streaming_dedup
+
+    dups_path = os.path.join(corpus_dir(sf_dir), "stream_dups")
+    if not os.path.exists(os.path.join(dups_path, "_SUCCESS")):
+        D.corpus_with_dups(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dups_path)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .format("parquet")
+        .load(dups_path)
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("__sdedup_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("__sdedup_gate")
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Streaming operator (batch-equivalent check): watermarked 5-minute
     tumbling window counts over events — latex_ocr_spark/streaming.py."""
@@ -1004,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q22": _q_tpch_q22,
         "running_user_totals": _q_running_user_totals,
+        "streaming_dedup": _q_streaming_dedup,
         "training_pipeline": _q_training_pipeline,
     }
 
@@ -1535,6 +1568,22 @@ ORDER BY c_nationkey
 SELECT user_id, CAST(count(*) AS BIGINT) AS n,
        CAST(round(sum(value), 4) AS DOUBLE) AS total
 FROM events GROUP BY user_id
+""",
+        # batch replay of the streaming first-seen rule: one micro-batch over
+        # the planted-dups corpus admits exactly the min-doc_id row per
+        # normalized-content fingerprint
+        "streaming_dedup": _DUP_CTE
+        + """
+SELECT doc_id, fp_md5, text FROM (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM corpus
+)
+WHERE rn = 1
 """,
         "tpch_q18": """
 SELECT c_name, c_custkey, o_orderkey,
