@@ -849,6 +849,16 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking: correlated EXISTS decorrelated to a LEFT
+    SEMI join on the returned-lines key set — the semi-join optimizer shape
+    (short-circuits per key, never materializes fact multiplicity) —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q4
+
+    return tpch_q4(_tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem"))
+
+
 def _q_tpch_q17(spark, sf_dir):
     """Q17 small-quantity revenue: the spec's correlated scalar subquery
     decorrelated to a per-partkey window average over ONE brand-filtered scan
@@ -1032,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q22": _q_tpch_q22,
@@ -1533,6 +1544,18 @@ SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+        # Q4 adapted: no commit/receipt dates in the synthetic lineitem, so
+        # "late" is l_returnflag = 'R'
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
         # Q17 adapted: no p_container in the synthetic part table, so the
         # part predicate is the brand alone; avg threshold is a window avg

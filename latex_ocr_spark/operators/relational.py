@@ -382,3 +382,33 @@ def tpch_q22(
         )
         .orderBy("c_nationkey")
     )
+
+
+def tpch_q4(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qtr_start: str = "1997-07-01",
+    qtr_end: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: the synthetic lineitem has
+    no commit/receipt dates, so "late" is ``l_returnflag = 'R'`` — orders
+    with at least one returned line).
+
+    The spec's correlated EXISTS decorrelates to a LEFT SEMI join: the fact
+    side is pre-filtered to returned lines and projected to the join key
+    alone before the shuffle, the orders side carries its pushed quarter
+    range to the scan. Semi-join (not inner + distinct) is the
+    at-scale-correct shape — it short-circuits per key on the first match
+    and never materializes the multiplicity of the many-lines-per-order
+    fact."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(qtr_start))
+        & (F.col("o_orderdate") < F.lit(qtr_end))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -325,3 +325,69 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path_factory):
     finally:
         q.stop()
     assert emitted == {1, 3}
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, tmp_path_factory):
+    """The 100 TB state story: the dedup operator's keyed state runs
+    unchanged on the RocksDB state-store provider (the store a long-running
+    production ingestion uses so state spills to disk instead of executor
+    heap). Same cross-batch first-seen semantics as the default provider."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from latex_ocr_spark.streaming import streaming_dedup
+
+    d = tmp_path_factory.mktemp("docs_dedup_rocks")
+    files = d / "stream"
+    files.mkdir()
+    sb1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["rocks db one", "other doc"]})
+    )
+    sb2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4], "text": ["Rocks  DB  one", "fresh doc"]})
+    )
+    sb1.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    sb2.coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
+    shutil.copy(next((d / "p2").glob("*.parquet")), files / "b.parquet")
+    now = time.time()
+    os.utime(files / "a.parquet", (now - 60, now - 60))
+    os.utime(files / "b.parquet", (now, now))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(sb1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(files))
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("dedup_rocks")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_rocks").collect()
+    }
+    # doc 3 is a case/whitespace duplicate of doc 1 -> dropped
+    assert got == {1, 2, 4}
