@@ -153,6 +153,21 @@ def main() -> None:
         lambda: perplexity_metric(spark, corpus, cfg=ModelConfig.small()).count(),
     )
 
+    # the composed daily pass: extraction -> reassembly -> dup-union ->
+    # curate -> near-dup dedup -> token budget as one job (the gate's
+    # training_pipeline row). clearCache between reps releases the pass's
+    # two persisted frames so reps don't accumulate executor storage.
+    from latex_ocr_spark.pipeline import composed_training_pipeline
+
+    def _daily():
+        n = composed_training_pipeline(
+            spark, corpus, cfg=ModelConfig.bench()
+        ).count()
+        spark.catalog.clearCache()
+        return n
+
+    bench("daily_pipeline", _daily)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "extraction+analytics suite wall time, sum of per-query "
