@@ -879,6 +879,22 @@ def _q_tpch_q22(spark, sf_dir):
     )
 
 
+def _q_tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion: the spec's correlated 0.5*sum threshold
+    and the derived availqty aggregate the same fact at the same grain, so
+    ONE conditional aggregation over one brand-filtered scan computes both
+    (broadcast part dim, supplier-grain everything after) —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q20
+
+    return tpch_q20(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_running_user_totals(spark, sf_dir):
     """Arbitrary stateful streaming at the gate: drain the bounded events
     stream through applyInPandasWithState (update mode, memory sink), then
@@ -1045,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q22": _q_tpch_q22,
         "running_user_totals": _q_running_user_totals,
         "streaming_dedup": _q_streaming_dedup,
@@ -1571,6 +1588,42 @@ FROM (
   WHERE p_brand = 'Brand#23'
 )
 WHERE l_quantity < qty_threshold
+""",
+        # Q20 adapted: no partsupp table, so per-(supplier, part) availqty is
+        # the stock-year (1997) shipped quantity and the spec's correlated
+        # 0.5*sum threshold is the demand-year (1998) quantity for the same
+        # (partkey, suppkey); no p_name pattern, so promotable = p_type.
+        # The oracle keeps the SPEC's correlated-scalar-subquery form — the
+        # Spark side decorrelates it to one conditional aggregation.
+        # l_quantity values are integer-valued doubles, so sums and the 0.5*
+        # threshold are exact on both engines.
+        "tpch_q20": """
+WITH per_part AS (
+  SELECT l1.l_suppkey,
+         sum(l1.l_quantity) AS avail,
+         (SELECT 0.5 * coalesce(sum(l2.l_quantity), 0.0) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey
+            AND l2.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND l2.l_shipdate < TIMESTAMP '1999-01-01 00:00:00') AS half_demand
+  FROM lineitem l1
+  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l1.l_suppkey, l1.l_partkey
+),
+qual AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_excess_parts,
+         CAST(round(sum(avail - half_demand), 2) AS DOUBLE) AS excess_qty
+  FROM per_part
+  WHERE avail > half_demand
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, n_excess_parts, excess_qty
+FROM qual
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
 """,
         # Q22 adapted: no c_phone (country code = c_nationkey) and every
         # synthetic customer has orders, so NOT EXISTS is parameterized to

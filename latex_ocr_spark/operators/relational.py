@@ -412,3 +412,69 @@ def tpch_q4(
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def tpch_q20(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part_type: str = "PROMO",
+    stock_start: str = "1997-01-01",
+    demand_start: str = "1998-01-01",
+    demand_end: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q20 potential-part-promotion (adapted: the synthetic schema has
+    no partsupp table, so per-(supplier, part) "availqty" is the quantity
+    shipped in the stock year and the spec's correlated threshold — ``0.5 *
+    sum(l_quantity)`` over a date window for the same (partkey, suppkey) —
+    is the following year's demand; there is no p_container/p_name pattern,
+    so the promotable-part predicate is ``p_type``; output is enriched with
+    the per-supplier excess-part count and excess quantity so the gate
+    hashes values, not just membership).
+
+    Decorrelation shape: both the derived availqty and the spec's correlated
+    scalar subquery aggregate the SAME fact at the same (l_suppkey,
+    l_partkey) grain, so one conditional aggregation computes both — the
+    fact is scanned ONCE with the two-year shipdate range pushed to the
+    scan, projected to 4 columns, brand-membership applied map-side via the
+    broadcast promotable-part dim. That (suppkey, partkey) groupBy is the
+    only fact-sized shuffle; everything after is supplier-grain: the
+    qualifying filter, the per-supplier rollup, the join to the supplier dim
+    (AQE-decided — at 100 TB the supplier dim shuffles, the rollup is
+    already tiny), and the broadcast nation join. ``avail`` stays NULL for
+    groups with no stock-year rows (NULL > x is false), matching the
+    oracle's outer aggregation existing only over stock-year rows.
+    """
+    promo = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    lp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(stock_start))
+            & (F.col("l_shipdate") < F.lit(demand_end))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    in_stock = F.col("l_shipdate") < F.lit(demand_start)
+    per_part = lp.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_stock, F.col("l_quantity"))).alias("avail"),
+        F.sum(F.when(~in_stock, F.col("l_quantity"))).alias("demand"),
+    )
+    half_demand = 0.5 * F.coalesce(F.col("demand"), F.lit(0.0))
+    qual = (
+        per_part.filter(F.col("avail") > half_demand)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_excess_parts"),
+            F.round(F.sum(F.col("avail") - half_demand), 2)
+            .cast("double")
+            .alias("excess_qty"),
+        )
+    )
+    return (
+        qual.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts", "excess_qty")
+        .orderBy("s_suppkey")
+    )

@@ -183,6 +183,33 @@ def main() -> None:
         )
     )
 
+    # 7c. TPC-H Q20: the correlated 0.5*sum threshold and the derived
+    # availqty come from ONE conditional aggregation — a second lineitem
+    # scan in the plan would mean the decorrelation regressed
+    from latex_ocr_spark.operators.relational import tpch_q20
+
+    q20 = tpch_q20(t("part"), t("supplier"), t("nation"), t("lineitem"))
+    q20_plan = plan_of(q20)
+    q20_li_scans = [
+        l for l in q20_plan.splitlines()
+        if ("Scan parquet" in l and "lineitem" in l.lower())
+        or "lineitem.parquet" in l
+    ]
+    sections.append(
+        (
+            "TPC-H Q20",
+            "Correlated availqty-vs-half-demand threshold computed by one "
+            "conditional aggregation over one brand-filtered scan (scans of "
+            f"lineitem: {len(q20_li_scans)} — must be 1); part and nation "
+            "dims broadcast; the two-year shipdate range is pushed to the "
+            "parquet scan.",
+            grep_evidence(
+                q20_plan,
+                ["BroadcastHashJoin", "PushedFilters", "HashAggregate"],
+            )[:8],
+        )
+    )
+
     # 8. corpus curation: lang/quality gates evaluated BEFORE the only
     # exchange (fingerprint keeper groupBy) — filter first, shuffle survivors
     from latex_ocr_spark.operators.text_analysis import curate_corpus
