@@ -86,6 +86,32 @@ def test_probe_normalization_uses_nearest_in_window_ceiling(tmp_path):
     assert abs(pair["median_eff"] - ENGINE_EFF * ceiling) < 0.01
 
 
+def test_quiet_subset_excludes_low_ceiling_windows(tmp_path):
+    # two windows: one quiet (ceiling 0.9) where the engine reads its true
+    # raw efficiency against that ceiling, one polluted (ceiling 0.5, e.g.
+    # foreground work on the box).  The quiet-subset stats must keep ONLY
+    # the quiet window, so quiet_median_eff reads the quiet window's raw
+    # value and is immune to pollution that drags the all-pairs median down
+    quiet_ceil, loud_ceil = 0.9, 0.5
+    a = [[20.0, 1000.0], [20.0, 50000.0]]
+    b = [
+        [round(20.0 / (4 * ENGINE_EFF * quiet_ceil), 4), 1030.0],
+        [round(20.0 / (4 * ENGINE_EFF * loud_ceil), 4), 50030.0],
+    ]
+    probes = [
+        (1015.0, {"8_to_32": quiet_ceil}),
+        (50015.0, {"8_to_32": loud_ceil}),
+    ]
+    out = SW.analyze(_write(tmp_path, a, b), probes=probes)
+    pair = out["pairs"]["8_to_32"]
+    assert pair["n_pairs_with_probe"] == 2
+    assert pair["n_quiet_pairs"] == 1  # only the ceiling>=0.8 window
+    assert abs(pair["quiet_median_eff"] - ENGINE_EFF * quiet_ceil) < 0.01
+    assert abs(pair["quiet_median_norm_eff"] - ENGINE_EFF) < 0.01
+    # all-pairs median straddles both windows — strictly below the quiet raw
+    assert pair["median_eff"] < pair["quiet_median_eff"]
+
+
 def test_far_apart_samples_never_pair(tmp_path):
     a = [[20.0, 0.0]]
     b = [[6.0, SW.MAX_GAP + 1.0]]

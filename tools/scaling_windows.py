@@ -28,6 +28,13 @@ ceiling measured by the probe nearest in time to the pairing's midpoint
     could have achieved on this box in that window".  This is the
     per-window version of BASELINE.md's host normalization; values ~1.0
     mean the residual is the host, not the engine.
+  - quiet-subset rows (n_quiet_pairs / quiet_median_eff /
+    quiet_median_norm_eff): the same statistics restricted to pairings
+    whose same-window probe ceiling is >= QUIET_CEILING (default 0.8 —
+    the host was near-nominal in that window).  Raw efficiency measured in
+    quiet windows is the number comparable to a dedicated cluster; it is
+    also what makes the campaign robust to foreground work on this box,
+    which lowers the ceiling in exactly the windows it pollutes.
 
 Usage: python tools/scaling_windows.py  (writes SCALING_WINDOWS.json)
 """
@@ -42,6 +49,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAIRS = ((2, 8), (4, 16), (8, 32))
 MAX_GAP = float(os.environ.get("SCALING_WINDOW_GAP", "1200"))
 PROBE_GAP = float(os.environ.get("SCALING_PROBE_GAP", "1800"))
+QUIET_CEILING = float(os.environ.get("SCALING_QUIET_CEILING", "0.8"))
 
 
 def load_probes() -> list[tuple[float, dict]]:
@@ -131,14 +139,24 @@ def analyze(path: str, probes: list[tuple[float, dict]]) -> dict | None:
                     continue
                 ceil = nearest_ceiling(probes, key, (ta + tb) / 2.0)
                 if ceil and ceil > 0:
-                    norm.append((wa / (4.0 * wb) / ceil, wa, wb))
+                    norm.append((wa / (4.0 * wb) / ceil, wa, wb, ceil))
         if norm:
             nquiet = min(norm, key=lambda p: p[1] / med_a + p[2] / med_b)
             row["n_pairs_with_probe"] = len(norm)
             row["median_norm_eff"] = round(
-                statistics.median(e for e, _, _ in norm), 3
+                statistics.median(e for e, _, _, _ in norm), 3
             )
             row["quietest_norm_eff"] = round(nquiet[0], 3)
+            quiet_sub = [p for p in norm if p[3] >= QUIET_CEILING]
+            row["quiet_ceiling_threshold"] = QUIET_CEILING
+            row["n_quiet_pairs"] = len(quiet_sub)
+            if quiet_sub:
+                row["quiet_median_eff"] = round(
+                    statistics.median(e * c for e, _, _, c in quiet_sub), 3
+                )
+                row["quiet_median_norm_eff"] = round(
+                    statistics.median(e for e, _, _, _ in quiet_sub), 3
+                )
         out["pairs"][key] = row
     return out
 
