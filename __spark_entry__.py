@@ -895,6 +895,21 @@ def _q_tpch_q20(spark, sf_dir):
     )
 
 
+def _q_tpch_q21(spark, sf_dir):
+    """Q21 suppliers-who-kept-orders-waiting: the spec's EXISTS + NOT-EXISTS
+    pair decorrelates to conditional distinct-counts over the orderkey
+    window, which reuses the status-join's hash partitioning — ONE lineitem
+    scan, one fact shuffle, no self-joins —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q21
+
+    return tpch_q21(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
 def _q_running_user_totals(spark, sf_dir):
     """Arbitrary stateful streaming at the gate: drain the bounded events
     stream through applyInPandasWithState (update mode, memory sink), then
@@ -1062,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "running_user_totals": _q_running_user_totals,
         "streaming_dedup": _q_streaming_dedup,
@@ -1624,6 +1640,29 @@ FROM qual
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY s_suppkey
+""",
+        # Q21 adapted: no commit/receipt dates, so "late" is l_returnflag =
+        # 'R' (the Q4 adaptation); no top-100 LIMIT (limit-boundary ties are
+        # engine-dependent — the gate hashes the full deterministic ranking).
+        # The oracle keeps the SPEC's correlated EXISTS + NOT-EXISTS form;
+        # the Spark side decorrelates both to windowed conditional distinct
+        # counts over one scan.
+        "tpch_q21": """
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
 """,
         # Q22 adapted: no c_phone (country code = c_nationkey) and every
         # synthetic customer has orders, so NOT EXISTS is parameterized to

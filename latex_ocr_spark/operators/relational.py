@@ -478,3 +478,52 @@ def tpch_q20(
         .select("s_suppkey", "s_name", "n_name", "n_excess_parts", "excess_qty")
         .orderBy("s_suppkey")
     )
+
+
+def tpch_q21(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_flag: str = "R",
+    status: str = "F",
+) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: the synthetic
+    lineitem has no commit/receipt dates, so "late" is ``l_returnflag =
+    'R'``, matching the Q4 adaptation; no top-100 LIMIT — ties at a limit
+    boundary are engine-dependent, so the gate hashes the full ranking).
+
+    The spec stacks the two hardest correlation shapes on one fact: EXISTS
+    (another supplier contributed to the order) and NOT EXISTS (no OTHER
+    supplier was late in it). Both decorrelate to conditional DISTINCT
+    counts at the order grain, computed here with window functions over the
+    orderkey partition: size(collect_set(suppkey)) > 1 for the EXISTS and
+    size(collect_set(suppkey) FILTER late) = 1 for the NOT-EXISTS (this row
+    is late, so "exactly one late supplier" means "no other"). The plan
+    scans lineitem ONCE: the status-F orders join hash-partitions by
+    orderkey and the windows reuse that exact partitioning — one fact
+    shuffle total, no self-joins, no second scan. Everything after the
+    window filter is supplier-grain: groupBy suppkey count, AQE-decided
+    join to the supplier dim, full deterministic ordering.
+    """
+    o = orders.filter(F.col("o_orderstatus") == status).select("o_orderkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag").join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    w = Window.partitionBy("l_orderkey")
+    late = F.col("l_returnflag") == late_flag
+    flagged = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+        ),
+    )
+    return (
+        flagged.filter(late & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )

@@ -210,6 +210,35 @@ def main() -> None:
         )
     )
 
+    # 7d. TPC-H Q21: EXISTS + NOT-EXISTS both decorrelated to windowed
+    # conditional distinct-counts — one lineitem scan, and the two Window
+    # nodes share one Exchange (same orderkey partitioning, no re-shuffle)
+    from latex_ocr_spark.operators.relational import tpch_q21
+
+    q21 = tpch_q21(t("supplier"), t("lineitem"), t("orders"))
+    q21_plan = plan_of(q21)
+    q21_li_scans = [
+        l for l in q21_plan.splitlines()
+        if ("Scan parquet" in l and "lineitem" in l.lower())
+        or "lineitem.parquet" in l
+    ]
+    q21_windows = [l for l in q21_plan.splitlines() if l.strip().startswith("(")
+                   and ") Window" in l]
+    sections.append(
+        (
+            "TPC-H Q21",
+            "Spec's correlated EXISTS + NOT-EXISTS pair computed as "
+            "conditional distinct-counts over the orderkey window (scans of "
+            f"lineitem: {len(q21_li_scans)} — must be 1; Window nodes: "
+            f"{len(q21_windows)} — back-to-back on one partitioning, no "
+            "exchange between them); no self-joins of the fact.",
+            grep_evidence(
+                q21_plan,
+                ["Window", "Exchange", "BroadcastHashJoin"],
+            )[:10],
+        )
+    )
+
     # 8. corpus curation: lang/quality gates evaluated BEFORE the only
     # exchange (fingerprint keeper groupBy) — filter first, shuffle survivors
     from latex_ocr_spark.operators.text_analysis import curate_corpus
