@@ -663,6 +663,22 @@ def _q_language_id(spark, sf_dir):
     return TA.language_id(_documents(spark, sf_dir))
 
 
+def _q_quality_percentiles(spark, sf_dir):
+    """Exact per-language P50/P95/P99 of n_words and stopword_ratio — the
+    distribution a curation pass derives its thresholds from. DuckDB oracle
+    uses quantile_cont (same p*(n-1) linear interpolation as Spark's exact
+    percentile) — latex_ocr_spark/operators/text_analysis.py."""
+    return TA.quality_percentiles(_documents(spark, sf_dir))
+
+
+def _q_curate_percentile(spark, sf_dir):
+    """Data-driven curation: language gate, then keep docs at/above the
+    language's own median n_words (threshold computed FROM the corpus,
+    broadcast back), then fingerprint dedup keeping min doc_id —
+    latex_ocr_spark/operators/text_analysis.py."""
+    return TA.curate_by_percentile(_documents(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_documents(spark, sf_dir))
 
@@ -1026,6 +1042,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Never-driver-checked rows FIRST: the round-5 driver artifact cut
+        # off at the first 50 registry entries (dict order), so entries the
+        # driver has not yet hash-checked lead the dict. Rows 7+ are all
+        # driver-green as of CORRECTNESS_r05.json.
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "running_user_totals": _q_running_user_totals,
+        "streaming_dedup": _q_streaming_dedup,
+        "training_pipeline": _q_training_pipeline,
+        "quality_percentiles": _q_quality_percentiles,
+        "curate_percentile": _q_curate_percentile,
         "span_explode_counts": _q_span_explode_counts,
         "passthrough_reassembly": _q_passthrough_reassembly,
         "media_matching_join": _q_media_matching_join,
@@ -1076,12 +1104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "running_user_totals": _q_running_user_totals,
-        "streaming_dedup": _q_streaming_dedup,
-        "training_pipeline": _q_training_pipeline,
     }
 
 
@@ -1399,6 +1421,48 @@ FROM (
          {score_cols}
   FROM documents
 )
+""",
+        # exact percentiles: DuckDB quantile_cont and Spark percentile share
+        # the p*(n-1) linear-interpolation definition; both sides round 4dp
+        "quality_percentiles": f"""
+WITH scored AS (
+  SELECT {score_cols},
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+         round(CAST(({stop_hits}) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
+  FROM documents
+), langed AS (
+  SELECT CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END AS lang_pred,
+         n_words, stopword_ratio
+  FROM scored
+)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(quantile_cont(n_words, 0.5), 4) AS DOUBLE) AS p50_words,
+       CAST(round(quantile_cont(n_words, 0.95), 4) AS DOUBLE) AS p95_words,
+       CAST(round(quantile_cont(n_words, 0.99), 4) AS DOUBLE) AS p99_words,
+       CAST(round(quantile_cont(stopword_ratio, 0.5), 4) AS DOUBLE) AS p50_stop,
+       CAST(round(quantile_cont(stopword_ratio, 0.95), 4) AS DOUBLE) AS p95_stop,
+       CAST(round(quantile_cont(stopword_ratio, 0.99), 4) AS DOUBLE) AS p99_stop
+FROM langed GROUP BY lang_pred ORDER BY lang_pred
+""",
+        "curate_percentile": f"""
+WITH scored AS (
+  SELECT doc_id, text, {score_cols},
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, n_words FROM scored
+  WHERE (CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END) = 'en'
+),
+thr AS (SELECT quantile_cont(n_words, 0.5) AS thr FROM gated),
+kept AS (
+  SELECT g.doc_id, g.text,
+         md5(lower(regexp_replace(g.text, '\\s+', ' ', 'g'))) AS fp
+  FROM gated g, thr t WHERE g.n_words >= t.thr
+)
+SELECT k.doc_id, k.text FROM kept k
+JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
+  ON k.fp = m.fp AND k.doc_id = m.doc_id
 """,
         "fingerprint": """
 SELECT doc_id,

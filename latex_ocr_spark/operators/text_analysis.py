@@ -203,6 +203,88 @@ def language_id(corpus: DataFrame) -> DataFrame:
     return corpus.select(*sel)
 
 
+QUALITY_PERCENTILES = (0.5, 0.95, 0.99)
+
+
+def quality_percentiles(
+    corpus: DataFrame, ps: tuple = QUALITY_PERCENTILES
+) -> DataFrame:
+    """Exact per-language P50/P95/P99 of the curation signals a real
+    pipeline thresholds on: n_words (non-empty whitespace tokens, the
+    token_count definition) and stopword_ratio (the quality_score
+    definition, pre-rounded to 4dp). One row per predicted language.
+
+    Scale notes (100 TB): Spark's exact ``percentile`` aggregate keeps a
+    map-side partially-aggregated counts-map keyed by DISTINCT value, so
+    executor memory is O(distinct values), not O(rows). Both signals are
+    low-cardinality by construction — n_words is bounded by document
+    length and stopword_ratio is rounded to 4dp (≤ 10001 distinct values)
+    — so the exact path survives web-scale groups; for unbounded-
+    cardinality signals switch to approx_percentile (t-digest sketch).
+    """
+    words = F.split(F.col("text"), " ")
+    per_doc = corpus.select(
+        _lang_pred_expr(F.col("text")).alias("lang_pred"),
+        F.size(F.filter(words, lambda w: w != "")).cast("long").alias("n_words"),
+        F.round(_count_words(F.col("text"), STOPWORDS) / F.size(words), 4)
+        .cast("double")
+        .alias("stopword_ratio"),
+    )
+    pct = F.array(*[F.lit(float(p)) for p in ps])
+    agg = per_doc.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_words", pct).alias("_w"),
+        F.percentile("stopword_ratio", pct).alias("_s"),
+    )
+    sel = [F.col("lang_pred"), F.col("n_docs")]
+    for i, p in enumerate(ps):
+        tag = str(int(round(p * 100)))
+        sel.append(
+            F.round(F.col("_w")[i], 4).cast("double").alias(f"p{tag}_words")
+        )
+    for i, p in enumerate(ps):
+        tag = str(int(round(p * 100)))
+        sel.append(
+            F.round(F.col("_s")[i], 4).cast("double").alias(f"p{tag}_stop")
+        )
+    return agg.select(*sel).orderBy("lang_pred")
+
+
+def curate_by_percentile(
+    corpus: DataFrame, lang: str = "en", p: float = 0.5
+) -> DataFrame:
+    """Percentile-thresholded curation: keep documents of the target
+    predicted language whose n_words is at or above that language's own
+    p-th percentile (threshold derived FROM the data, not a constant),
+    then near-exact fingerprint dedup keeping the min-doc_id
+    representative — the data-driven variant of ``curate_corpus``.
+
+    Scale notes: the threshold frame is one row per language (here: one
+    row) — broadcast back onto the gated stream, so the only wide shuffle
+    is the fingerprint keeper aggregation over survivors.
+    """
+    words = F.split(F.col("text"), " ")
+    gated = corpus.select(
+        "doc_id",
+        "text",
+        _lang_pred_expr(F.col("text")).alias("lang_pred"),
+        F.size(F.filter(words, lambda w: w != "")).cast("long").alias("n_words"),
+    ).filter(F.col("lang_pred") == lang)
+    thr = gated.groupBy("lang_pred").agg(
+        F.percentile("n_words", F.lit(float(p))).alias("thr")
+    )
+    kept = (
+        gated.join(F.broadcast(thr), "lang_pred")
+        .filter(F.col("n_words") >= F.col("thr"))
+        .withColumn(
+            "fp_md5",
+            F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))),
+        )
+    )
+    keepers = kept.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keepers, ["fp_md5", "doc_id"]).select("doc_id", "text")
+
+
 def curate_corpus(corpus: DataFrame, lang: str = "en") -> DataFrame:
     """The end-to-end curation pass a training pipeline runs before
     tokenization: language gate (marker-lexicon argmax == ``lang``), quality
