@@ -15,10 +15,14 @@ resume, /root/reference/model/utils/image.py:238-245, model/base.py:33-48).
 Local smoke run (no cluster):
     python job.py --input <corpus_dir> --output /tmp/out --local --profile small
 
-Two stages (--stage): ``extract`` (default, per-partition resumable) and
-``curate`` (read an extraction output, write the curated + near-dup-deduped +
-token-budgeted training corpus — the downstream daily job); ``all`` chains
-them through the same output dir.
+Stages (--stage): ``extract`` (default, per-partition resumable), then the
+corpus-wide downstream stages ``curate`` (language/quality gates + exact
+fingerprint dedup → <out>/curated), ``dedup`` (MinHash-LSH near-dup
+dedup_apply → <out>/deduped), ``budget`` (token counts → <out>/budgeted);
+``all`` chains extract → curate → dedup → budget through one output dir with
+per-stage resume — a run killed between stages restarts where it stopped
+(each stage reads the previous stage's materialized parquet, writes
+idempotently, then appends its lineage row).
 """
 
 from __future__ import annotations
@@ -50,13 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="corpus dir (docs/ + media/)")
     ap.add_argument("--output", required=True, help="output dir (docs/ + _checkpoint/)")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "curate", "all"],
+                    choices=["extract", "curate", "dedup", "budget", "all"],
                     help="extract: resumable per-partition extraction (default). "
-                         "curate: read an extraction OUTPUT dir as --input and "
-                         "write the curated+deduped+token-budgeted corpus to "
-                         "--output/curated. all: extraction into --output, then "
-                         "curation from it into the same dir — the composed "
-                         "daily pipeline.")
+                         "curate: read an extraction OUTPUT dir as --input, "
+                         "write --output/curated. dedup / budget: read the "
+                         "previous stage's output under --output, write "
+                         "--output/deduped / --output/budgeted. all: the full "
+                         "daily pipeline through one output dir, skipping "
+                         "stages whose lineage row already exists (per-stage "
+                         "resume; --no-resume reruns everything).")
     ap.add_argument("--parts", type=int, nargs="*", default=None,
                     help="explicit partition list (default: all, minus completed)")
     ap.add_argument("--profile", default="reference",
@@ -106,17 +112,35 @@ def main(argv: list[str] | None = None) -> int:
                 f"({len(before)} already complete, skipped); output at "
                 f"{os.path.join(args.output, 'docs')}"
             )
-        if args.stage in ("curate", "all"):
-            from latex_ocr_spark.operators.checkpoint import run_curation
-
-            extracted = args.input if args.stage == "curate" else args.output
-            stats = run_curation(spark, extracted, args.output)
-            print(
-                f"curated: {stats['n_docs']} surviving docs, "
-                f"{stats['n_words']} words / {stats['n_tokens']} subwords / "
-                f"{stats['n_chars']} chars in {stats['wall_s']}s; output at "
-                f"{os.path.join(args.output, 'curated')}"
+        if args.stage != "extract":
+            from latex_ocr_spark.operators.checkpoint import (
+                DOWNSTREAM_STAGES,
+                run_daily_pipeline,
             )
+
+            if args.stage == "all":
+                # chain every downstream stage, skipping completed ones
+                stages, resume = DOWNSTREAM_STAGES, not args.no_resume
+                extracted = args.output
+            else:
+                # an explicitly requested stage always reruns (idempotent
+                # overwrite); curate reads the extraction dir via --input,
+                # dedup/budget read their predecessor under --output
+                stages, resume = (args.stage,), False
+                extracted = args.input
+            results = run_daily_pipeline(
+                spark, extracted, args.output, stages=stages, resume=resume
+            )
+            for stage, row in results.items():
+                if row == "skipped":
+                    print(f"{stage}: already complete, skipped (resume)")
+                else:
+                    print(
+                        f"{stage}: {row['n_docs']} docs"
+                        + (f", {row['n_tokens']} subwords" if row["n_tokens"] else "")
+                        + f" in {row['wall_s']}s; output at "
+                        f"{os.path.join(args.output, row['status'])}"
+                    )
         return 0
     finally:
         # getOrCreate may have handed us a caller's session (embedded use /

@@ -189,59 +189,155 @@ def run_with_checkpoint(
     return processed
 
 
-def run_curation(
-    spark: SparkSession, extracted_dir: str, out_dir: str
-) -> dict:
-    """Curation stage of the daily pipeline (job.py --stage curate): read an
-    extraction output (``extracted_dir/docs`` — the per-partition parquet
-    ``run_with_checkpoint`` writes), flatten each document's offset-ordered
-    span sequence to training text, run curate → near-dup dedup →
-    token-budget (``pipeline.curate_and_budget``), and write the surviving
-    corpus to ``out_dir/curated`` with a lineage record alongside.
+# ---------------------------------------------------------------------------
+# Downstream daily pipeline: extract → curate → dedup → budget, each stage a
+# separate resumable unit. Extraction's restart unit is the partition; the
+# downstream stages are corpus-wide passes (the dedup join is global by
+# nature), so THEIR restart unit is the whole stage: output written first
+# (idempotent overwrite), then the lineage row appended — a crash re-runs at
+# most the in-flight stage, and reading the previous stage's MATERIALIZED
+# parquet (never recomputing it) is the production contract between daily
+# jobs. Reference analog: the staged build→evaluate chain,
+# /root/reference/makefile:31-44.
+# ---------------------------------------------------------------------------
 
-    Reading the extraction CHECKPOINT rather than recomputing extraction is
-    the production contract: the two stages are separate daily jobs and the
-    decode output is materialized storage between them. The write is an
-    idempotent overwrite (the stage is one corpus-wide pass — unlike
-    extraction there is no per-partition restart unit, because the dedup
-    join is global by nature); lineage metrics ride the write job via
-    ``observe`` so the output parquet is never re-read."""
-    from ..pipeline import curate_and_budget
+DOWNSTREAM_STAGES = ("curate", "dedup", "budget")
+# stage name → (lineage status, output subdir)
+_STAGE_MARKS = {
+    "curate": ("curated", "curated"),
+    "dedup": ("deduped", "deduped"),
+    "budget": ("budgeted", "budgeted"),
+}
 
-    t0 = time.time()
-    run_id = uuid.uuid4().hex[:8]
+
+def _flat_extracted_text(spark: SparkSession, extracted_dir: str) -> DataFrame:
+    """Flatten an extraction output (``extracted_dir/docs``) to the
+    (doc_id, text) training corpus: each document's offset-ordered span
+    sequence joined with single spaces."""
     docs = spark.read.parquet(os.path.join(extracted_dir, "docs"))
-    flat_text = docs.select(
+    return docs.select(
         F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
         F.concat_ws(
             " ", F.transform("spans", lambda s: s["text"])
         ).alias("text"),
     )
-    budget = curate_and_budget(flat_text, keep_text=True)
-    obs = Observation(f"curate-{run_id}")
-    observed = budget.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").alias("n_words"),
-        F.sum("n_subwords").alias("n_subwords"),
-        F.sum("n_chars").alias("n_chars"),
+
+
+def stage_done(spark: SparkSession, out_dir: str, stage: str) -> bool:
+    """True when ``stage``'s lineage row exists. Rows are appended
+    output-then-mark (same ordering as partition extraction), so presence
+    implies the stage's parquet write completed."""
+    status = _STAGE_MARKS[stage][0]
+    path = _ckpt_path(out_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(
+        spark.read.schema(CHECKPOINT_SCHEMA)
+        .json(path)
+        .filter(F.col("status") == status)
+        .take(1)
     )
-    observed.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "curated")
-    )
+
+
+def _materialize_stage(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str,
+    df: DataFrame,
+    n_tokens_col: str | None = None,
+) -> dict:
+    """Write one corpus-wide stage output and append its lineage row
+    (part=-1: corpus-wide, never collides with partition resume). Lineage
+    metrics ride the write job via ``observe`` so the output parquet is
+    never re-read."""
+    status, subdir = _STAGE_MARKS[stage]
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:8]
+    obs = Observation(f"{status}-{run_id}")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if n_tokens_col:
+        aggs.append(F.sum(n_tokens_col).alias("n_tokens"))
+    observed = df.observe(obs, *aggs)
+    observed.write.mode("overwrite").parquet(os.path.join(out_dir, subdir))
     stats = obs.get
     row = {
-        "part": -1,  # corpus-wide stage; keyed -1 in the shared lineage table
-        "status": "curated",
+        "part": -1,
+        "status": status,
         "n_docs": int(stats["n_docs"] or 0),
         "n_images": 0,
-        "n_tokens": int(stats["n_subwords"] or 0),
+        "n_tokens": int(stats.get("n_tokens") or 0),
         "wall_s": round(time.time() - t0, 3),
         "run_id": run_id,
     }
     _append_checkpoint(spark, out_dir, row)
-    return {
-        **row,
-        "n_words": int(stats["n_words"] or 0),
-        "n_chars": int(stats["n_chars"] or 0),
+    return row
+
+
+def run_curate_stage(
+    spark: SparkSession, extracted_dir: str, out_dir: str
+) -> dict:
+    """Stage 2: language + quality gates + exact fingerprint dedup over the
+    flattened extraction output → ``out_dir/curated`` (doc_id, text)."""
+    from . import text_analysis as TA
+
+    curated = TA.curate_corpus(_flat_extracted_text(spark, extracted_dir))
+    return _materialize_stage(spark, out_dir, "curate", curated)
+
+
+def run_dedup_stage(spark: SparkSession, out_dir: str) -> dict:
+    """Stage 3: MinHash-LSH near-dup pair generation + dedup_apply over the
+    materialized curated corpus → ``out_dir/deduped`` (doc_id, text). Both
+    consumers of the curated frame scan its parquet — no recompute of the
+    curation gates, no persist needed."""
+    from . import dedup as D
+
+    curated = spark.read.parquet(os.path.join(out_dir, "curated"))
+    survivors = D.dedup_apply(
+        curated, D.minhash_lsh_pairs(curated, n=3, threshold=0.5)
+    )
+    return _materialize_stage(spark, out_dir, "dedup", survivors)
+
+
+def run_budget_stage(spark: SparkSession, out_dir: str) -> dict:
+    """Stage 4: token budget (words / greedy-BPE subwords / chars) over the
+    deduped survivors → ``out_dir/budgeted`` (doc_id, text + counts)."""
+    from . import text_analysis as TA
+
+    deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
+    budget = TA.token_count(deduped, keep_text=True)
+    return _materialize_stage(
+        spark, out_dir, "budget", budget, n_tokens_col="n_subwords"
+    )
+
+
+def run_daily_pipeline(
+    spark: SparkSession,
+    extracted_dir: str,
+    out_dir: str,
+    stages: tuple = DOWNSTREAM_STAGES,
+    resume: bool = True,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """Run the downstream daily stages in order with per-stage resume:
+    a stage whose lineage row already exists is skipped (``resume=True``),
+    so a job killed between stages restarts without recomputing finished
+    work. Returns {stage: lineage row, or "skipped"}.
+
+    ``fail_after_stage`` injects a crash AFTER the named stage commits (for
+    the kill-between-stages resume test, mirroring run_with_checkpoint's
+    ``fail_after``)."""
+    runners = {
+        "curate": lambda: run_curate_stage(spark, extracted_dir, out_dir),
+        "dedup": lambda: run_dedup_stage(spark, out_dir),
+        "budget": lambda: run_budget_stage(spark, out_dir),
     }
+    results: dict = {}
+    for stage in stages:
+        if resume and stage_done(spark, out_dir, stage):
+            results[stage] = "skipped"
+        else:
+            results[stage] = runners[stage]()
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+    return results

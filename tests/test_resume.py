@@ -108,13 +108,13 @@ def test_job_cli_end_to_end_and_resume(spark, tmp_path_factory):
     assert spark.read.parquet(f"{out}/docs").count() == n_docs
 
 
-def test_job_cli_curate_stage(spark, tmp_path_factory):
-    """job.py --stage all: extraction then curation through one output dir.
-    The curated sink carries text + token budget, its lineage row lands in
-    the shared checkpoint table (part=-1, status=curated, never confuses
-    partition resume), and it agrees with curate_and_budget run directly
-    over the flattened extraction output. Re-running the curate stage
-    overwrites idempotently."""
+def test_job_cli_staged_pipeline(spark, tmp_path_factory):
+    """job.py --stage all: extract → curate → dedup → budget through one
+    output dir. Each downstream stage materializes its own parquet and
+    appends one part=-1 lineage row (never confusing partition resume), and
+    the final budgeted corpus agrees with the library-level
+    curate_and_budget over the flattened extraction output. Re-running a
+    single stage explicitly overwrites idempotently."""
     import job
     from latex_ocr_spark.operators.checkpoint import completed_parts
     from latex_ocr_spark.pipeline import curate_and_budget
@@ -122,7 +122,7 @@ def test_job_cli_curate_stage(spark, tmp_path_factory):
     from tests.conftest import SF_DIR
 
     corpus = build_corpus(spark, SF_DIR)
-    out = str(tmp_path_factory.mktemp("job_curate"))
+    out = str(tmp_path_factory.mktemp("job_staged"))
     rc = job.main(
         ["--input", corpus, "--output", out, "--local", "--cores", "8",
          "--profile", "small", "--stage", "all"]
@@ -132,19 +132,22 @@ def test_job_cli_curate_stage(spark, tmp_path_factory):
     assert done, "extraction stage must checkpoint partitions"
 
     curated = spark.read.parquet(f"{out}/curated")
-    assert set(curated.columns) == {
+    deduped = spark.read.parquet(f"{out}/deduped")
+    budgeted = spark.read.parquet(f"{out}/budgeted")
+    assert set(curated.columns) == {"doc_id", "text"}
+    assert set(deduped.columns) == {"doc_id", "text"}
+    assert set(budgeted.columns) == {
         "doc_id", "text", "n_words", "n_subwords", "n_chars"
     }
-    n = curated.count()
-    assert n > 0
+    assert curated.count() >= deduped.count() == budgeted.count() > 0
 
-    # lineage: exactly one curated row, and resume bookkeeping is untouched
-    rows = [r for r in _load_ckpt(out) if r["status"] == "curated"]
-    assert len(rows) == 1 and rows[0]["part"] == -1
-    assert rows[0]["n_docs"] == n
+    # lineage: exactly one row per downstream stage, partition rows untouched
+    for status in ("curated", "deduped", "budgeted"):
+        rows = [r for r in _load_ckpt(out) if r["status"] == status]
+        assert len(rows) == 1 and rows[0]["part"] == -1
     assert completed_parts(spark, out) == done
 
-    # agreement with the library path over the same extraction output
+    # end-to-end agreement with the library path over the same extraction
     docs = spark.read.parquet(f"{out}/docs")
     flat_text = docs.select(
         F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
@@ -156,13 +159,47 @@ def test_job_cli_curate_stage(spark, tmp_path_factory):
         (r.doc_id, r.n_subwords)
         for r in curate_and_budget(flat_text).collect()
     }
-    got = {(r.doc_id, r.n_subwords) for r in curated.collect()}
+    got = {(r.doc_id, r.n_subwords) for r in budgeted.collect()}
     assert got == expect
 
-    # idempotent re-run of the standalone curate stage over the same input
+    # idempotent explicit re-run of one stage over the same input
+    n = budgeted.count()
     rc = job.main(
         ["--input", out, "--output", out, "--local", "--cores", "8",
-         "--stage", "curate"]
+         "--stage", "budget"]
     )
     assert rc == 0
-    assert spark.read.parquet(f"{out}/curated").count() == n
+    assert spark.read.parquet(f"{out}/budgeted").count() == n
+
+
+def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
+    """Kill the daily pipeline between stages, restart, and verify finished
+    stages are NOT recomputed: the curate lineage row's run_id survives the
+    restart (proving the stage was skipped), and the restart completes the
+    remaining stages."""
+    from latex_ocr_spark.operators.checkpoint import run_daily_pipeline
+    from latex_ocr_spark.sources import build_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = build_corpus(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("daily_kill"))
+    run_with_checkpoint(spark, corpus, out, cfg=ModelConfig.small())
+
+    with pytest.raises(RuntimeError, match="injected failure after stage curate"):
+        run_daily_pipeline(spark, out, out, fail_after_stage="curate")
+    rows = _load_ckpt(out)
+    curate_rows = [r for r in rows if r["status"] == "curated"]
+    assert len(curate_rows) == 1
+    assert not any(r["status"] in ("deduped", "budgeted") for r in rows)
+    first_run_id = curate_rows[0]["run_id"]
+
+    results = run_daily_pipeline(spark, out, out)
+    assert results["curate"] == "skipped"
+    assert results["dedup"] != "skipped" and results["budget"] != "skipped"
+    rows = _load_ckpt(out)
+    assert [r["run_id"] for r in rows if r["status"] == "curated"] == [first_run_id]
+    budgeted = spark.read.parquet(f"{out}/budgeted")
+    assert budgeted.count() == results["budget"]["n_docs"] > 0
+
+    # a second full run is a no-op: every stage already has its lineage row
+    assert set(run_daily_pipeline(spark, out, out).values()) == {"skipped"}
