@@ -136,12 +136,10 @@ def streaming_dedup(
     emitted) again — the standard sliding-horizon dedup trade-off. None
     (default) keeps state forever, matching batch-exact semantics.
 
-    Operational note: with ProcessingTimeTimeout the engine schedules
-    no-data micro-batches on every trigger so idle keys can expire — that
-    is what makes the TTL fire on a quiet source, but it also means an
-    ``availableNow``/``processAllAvailable`` drain never reaches a terminal
-    state; run TTL'd dedup as a continuously-triggered query (see
-    tests/test_streaming.py::test_streaming_dedup_ttl_expires_state).
+    To run a TTL'd dedup as a bounded drain (process everything currently
+    in the source, then stop), start the query and hand it to ``drain()``
+    — plain ``processAllAvailable``/``availableNow`` cannot terminate a
+    ProcessingTimeTimeout query (see ``drain``'s docstring).
     """
     from pyspark.sql.streaming.state import GroupState
 
@@ -190,6 +188,64 @@ def streaming_dedup(
     return keyed.groupBy("fp_md5").applyInPandasWithState(
         first_seen, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def drain(query, empty_batches: int = 2, timeout_s: float = 600.0,
+          poll_s: float = 0.2) -> None:
+    """Run a started streaming query until its source is drained, then stop
+    it — termination semantics for queries that never reach a terminal state
+    on their own.
+
+    A query holding ProcessingTimeTimeout state (e.g. ``streaming_dedup``
+    with ``state_ttl_ms``) schedules no-data micro-batches on every trigger
+    so idle keys can expire; ``processAllAvailable()`` and
+    ``trigger(availableNow)`` therefore never see it finish. This helper
+    supplies the missing drain: poll progress until ``empty_batches``
+    consecutive micro-batches read zero input rows — at that point
+    everything available when the drain began has been processed and its
+    offsets committed — then ``stop()``. For NoTimeout queries (where the
+    engine goes idle instead of running empty batches) it falls back to the
+    engine-idle signal: no active trigger, no data available, and at least
+    one batch completed.
+
+    Raises the query's own exception if it failed mid-drain, and
+    ``TimeoutError`` (after stopping the query) if neither signal arrives
+    within ``timeout_s``.
+    """
+    import time
+
+    deadline = time.time() + timeout_s
+    consecutive = 0
+    last_batch = -1
+    idle_reads = 0
+    while consecutive < empty_batches:
+        exc = query.exception()
+        if exc is not None:
+            query.stop()
+            raise exc
+        p = query.lastProgress
+        if p is not None and p["batchId"] != last_batch:
+            last_batch = p["batchId"]
+            consecutive = consecutive + 1 if p["numInputRows"] == 0 else 0
+        st = query.status
+        if (last_batch >= 0 and not st["isDataAvailable"]
+                and not st["isTriggerActive"]):
+            # NoTimeout path: engine idle with the source exhausted. Two
+            # consecutive reads guard against the transient between-batches
+            # state where both flags briefly read False.
+            idle_reads += 1
+            if idle_reads >= 2:
+                break
+        else:
+            idle_reads = 0
+        if time.time() > deadline:
+            query.stop()
+            raise TimeoutError(
+                f"stream not drained within {timeout_s}s "
+                f"(last batch {last_batch}, {consecutive} empty)"
+            )
+        time.sleep(poll_s)
+    query.stop()
 
 
 def stream_docs(spark: SparkSession, corpus_dir: str) -> DataFrame:

@@ -327,6 +327,98 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path_factory):
     assert emitted == {1, 3}
 
 
+def test_streaming_dedup_drain_terminates_with_ttl(spark, tmp_path_factory):
+    """drain() gives a TTL'd dedup query availableNow-like termination: a
+    ProcessingTimeTimeout query never self-terminates (the engine keeps
+    scheduling no-data batches so idle keys can expire), so production
+    callers use the library drain — process everything currently in the
+    source, then stop. The poll-and-stop lives in the library now, not the
+    test."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from latex_ocr_spark.streaming import drain, streaming_dedup
+
+    d = tmp_path_factory.mktemp("docs_dedup_drain")
+    files = d / "stream"
+    files.mkdir()
+    sb1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["drain me once", "other"]})
+    )
+    sb2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4], "text": ["Drain  ME  once", "new"]})
+    )
+    sb1.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    sb2.coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
+    shutil.copy(next((d / "p2").glob("*.parquet")), files / "b.parquet")
+    now = time.time()
+    os.utime(files / "a.parquet", (now - 60, now - 60))
+    os.utime(files / "b.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(sb1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(files))
+    )
+    # long TTL: no marker expires during the drain — semantics stay
+    # first-seen; the TTL's only effect here is the never-terminating
+    # trigger loop that drain() must cut through
+    q = (
+        streaming_dedup(stream, state_ttl_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_drain")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .start()
+    )
+    drain(q)
+    assert not q.isActive
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_drain").collect()
+    }
+    assert got == {1, 2, 4}
+
+
+def test_drain_no_timeout_query_idle_fallback(spark, tmp_path_factory):
+    """drain() also terminates a NoTimeout query (no empty batches are ever
+    scheduled — the engine just goes idle), via the engine-idle fallback."""
+    import pandas as pd
+
+    from latex_ocr_spark.streaming import drain, streaming_dedup
+
+    d = tmp_path_factory.mktemp("docs_dedup_drain_nt")
+    files = d / "stream"
+    files.mkdir()
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 8], "text": ["alpha", "beta"]})
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    import shutil
+
+    shutil.copy(next((d / "p1").glob("*.parquet")), files / "a.parquet")
+    q = (
+        streaming_dedup(
+            spark.readStream.schema(sdf.schema).format("parquet").load(str(files))
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_drain_nt")
+        .start()
+    )
+    drain(q)
+    assert not q.isActive
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM dedup_drain_nt").collect()
+    }
+    assert got == {7, 8}
+
+
 def test_streaming_dedup_rocksdb_state_store(spark, tmp_path_factory):
     """The 100 TB state story: the dedup operator's keyed state runs
     unchanged on the RocksDB state-store provider (the store a long-running
