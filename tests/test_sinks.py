@@ -71,6 +71,47 @@ def test_table_format_switch(spark, corpus):
         read_docs(spark, corpus, fmt="orc")
 
 
+def test_iceberg_roundtrip_self_activating(spark, corpus, tmp_path):
+    """Skipped in this sandbox (no iceberg-spark-runtime jar ships, no
+    network to fetch one — README Known limits); on any cluster where the
+    jar IS on the classpath this test self-activates and exercises the
+    real `--format iceberg` path end-to-end: write the docs table to a
+    hadoop-catalog Iceberg warehouse with an identity partition spec on
+    `part`, read it back through read_docs(fmt="iceberg"), and verify
+    partition pruning returns exactly the parquet-side counts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.sources import DOCS_SCHEMA, read_docs
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+    except Exception:
+        pytest.skip(
+            "iceberg-spark-runtime not on classpath (expected here; "
+            "self-activates on a cluster that ships the jar)"
+        )
+
+    wh = str(tmp_path / "wh")
+    spark.conf.set(
+        "spark.sql.catalog.it_test", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it_test.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_test.warehouse", wh)
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(f"{corpus}/docs")
+    docs.writeTo("it_test.db.docs").partitionedBy(F.col("part")).create()
+
+    # hadoop-catalog tables are path-addressable: wh/db/docs — exactly the
+    # layout read_docs expects when out_dir points at the database dir
+    back = read_docs(spark, f"{wh}/db", fmt="iceberg")
+    assert back.count() == docs.count()
+    one_part = read_docs(spark, f"{wh}/db", parts=[0], fmt="iceberg")
+    assert one_part.count() == docs.filter("part = 0").count()
+
+
 def _fixture_pdf_with_png(png: bytes) -> bytes:
     """Minimal single-page PDF embedding a PNG image XObject — the shape the
     rasterizer stub handles (the reference accepts .pdf via magick)."""
