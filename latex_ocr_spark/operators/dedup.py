@@ -201,26 +201,23 @@ def candidate_jaccard(
     return _jaccard_from_inter(inter, sh, threshold)
 
 
-def minhash_lsh_pairs(
+def minhash_band_candidates(
     corpus: DataFrame,
     n: int = 3,
-    threshold: float = 0.6,
     num_hashes: int = 128,
     bands: int = 64,
     max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
-) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-verified on candidates only.
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash signature build + LSH banding → candidate pairs.
 
-    signature: 128 permutation-free min-hashes h_i(s) = (a_i*x + b_i) mod p
-    (p = 2^31-1; a_i*x fits a 64-bit long, so the whole signature stays in
-    JVM long arithmetic inside whole-stage codegen) over xxhash64 shingle
-    keys; banding (64 bands × 2 rows) buckets candidate pairs with an
-    equi-join (never a cross join); candidates are then verified with exact
-    Jaccard computed ONLY for the candidate pairs (candidate_jaccard — the
-    full-corpus self-join is never built), so output = true pairs ≥ threshold
-    (LSH only prunes). At 64×2 banding, P(miss) for s ≥ 0.6 is
-    ≤ (1-0.36)^64 ≈ 4e-13.
-    """
+    Returns ``(candidates, sh)``: the distinct (doc_a, doc_b) candidate
+    pairs from the band-bucket equi-join, plus the persisted shingle table
+    the caller verifies against (``candidate_jaccard``). Split out of
+    ``minhash_lsh_pairs`` so the band self-join — the one shuffle in this
+    suite whose key CAN skew (a bucket shared by a large clone family holds
+    every clone's row) — is directly inspectable; the skew evidence
+    (tests/test_skew.py + PLANS.md) drives this stage under AQE skew-split
+    and checks the join's partition handling, not the verified output."""
     rows_per_band = num_hashes // bands
     p = 2147483647  # 2^31 - 1
     rng = np.random.default_rng(0x31A5_2026)
@@ -270,6 +267,32 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    return candidates, sh
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 64,
+    max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified on candidates only.
+
+    signature: 128 permutation-free min-hashes h_i(s) = (a_i*x + b_i) mod p
+    (p = 2^31-1; a_i*x fits a 64-bit long, so the whole signature stays in
+    JVM long arithmetic inside whole-stage codegen) over xxhash64 shingle
+    keys; banding (64 bands × 2 rows) buckets candidate pairs with an
+    equi-join (never a cross join); candidates are then verified with exact
+    Jaccard computed ONLY for the candidate pairs (candidate_jaccard — the
+    full-corpus self-join is never built), so output = true pairs ≥ threshold
+    (LSH only prunes). At 64×2 banding, P(miss) for s ≥ 0.6 is
+    ≤ (1-0.36)^64 ≈ 4e-13.
+    """
+    candidates, sh = minhash_band_candidates(
+        corpus, n=n, num_hashes=num_hashes, bands=bands, max_freq=max_freq
     )
     return candidate_jaccard(candidates, sh, threshold)
 

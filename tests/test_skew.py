@@ -86,6 +86,90 @@ def test_salt_is_deterministic_content_hash(hot_bucket_groups):
     assert by_ref["m00007.png"] == 127
 
 
+def test_minhash_band_join_aqe_skew_split(spark):
+    """The MinHash band self-join is the one dedup shuffle whose key can
+    skew: a large clone family (template pages, boilerplate mirrors) shares
+    every band bucket, so ONE (band, bucket) key holds the whole family —
+    hash partitioning puts the family's quadratic pair explosion on a
+    single task regardless of cluster size.
+
+    Remedy under test: AQE skew-join split (on by default at cluster scale;
+    thresholds lowered here because the default 256 MB partition floor is
+    unreachable in a unit test). A corpus where 1/3 of docs are identical
+    must (a) produce a SortMergeJoin(skew=true) with both sides'
+    AQEShuffleRead marked 'skewed' — the hot partitions were split into
+    subpartition tasks — and (b) return exactly the same candidate set as
+    an unsplit run (skew handling is a physical rewrite, never semantic)."""
+    from latex_ocr_spark.operators.dedup import minhash_band_candidates
+
+    n_docs, n_hot = 1200, 400
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        if i < n_hot
+        else (
+            i,
+            f"unique document number {i} speaks of topic {i * 7 % 991} "
+            f"and idea {i * 13 % 877} entirely",
+        )
+        for i in range(n_docs)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # unit-test floors: defaults (256 MB / 64 MB) never trigger on KBs
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        # force the shuffle join the 100 TB corpus would use (at test scale
+        # the banded table would broadcast and hide the skew path entirely)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+
+    def run(skew_enabled: bool):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
+        )
+        cand, sh = minhash_band_candidates(
+            corpus, n=3, num_hashes=8, bands=4, max_freq=None
+        )
+        pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        sh.unpersist()
+        return pairs, plan
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        split_pairs, split_plan = run(skew_enabled=True)
+        plain_pairs, plain_plan = run(skew_enabled=False)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.clearCache()
+
+    # the skewed scenario is real: every hot pair is a candidate (identical
+    # docs agree on every band — LSH cannot miss them)
+    hot_expected = {
+        (a, b) for a in range(n_hot) for b in range(a + 1, n_hot)
+    }
+    assert hot_expected <= split_pairs
+
+    # (a) the split happened
+    assert "SortMergeJoin(skew=true)" in split_plan, split_plan[-2000:]
+    assert split_plan.count("coalesced and skewed") >= 2  # both join sides
+    assert "skew=true" not in plain_plan
+
+    # (b) physical rewrite only — candidate sets identical
+    assert split_pairs == plain_pairs
+
+
 def test_decode_partitioning_scales_with_groups(spark):
     """decode_media partitions the exchange by (bucket, salt): with the
     default heuristic the shuffle's partition count tracks max(groups/10,
