@@ -198,6 +198,14 @@ _CORRECTNESS_SF_DIR = os.environ.get(
     "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
 )
 
+# training_pipeline gate profile: run the composition over these doc
+# partitions only (of fixtures.corpus.N_PARTS=16) — the extraction scan is
+# partition-pruned on the Spark side and the oracle filters doc_spans.part
+# identically, so the row stays a full end-to-end check at ~1/3 the decode
+# cost and fits any driver time budget.
+_TP_GATE_PARTS = tuple(range(6))
+_TP_GATE_PARTS_SQL = ", ".join(str(p) for p in _TP_GATE_PARTS)
+
 
 def _oracle_decodes_sf001() -> str:
     """Absolute path of the materialized single-process oracle decodes for the
@@ -974,13 +982,19 @@ def _q_training_pipeline(spark, sf_dir):
     the SAME operator the standalone gate rows check; this row proves they
     compose — see latex_ocr_spark/pipeline.py:composed_training_pipeline
     for the persist hygiene that keeps the decode subtree single-execution
-    across the five downstream references."""
+    across the five downstream references.
+
+    Gate profile: runs partitions 0-5 of 16 (partition-pruned extraction
+    scan, mirrored by the oracle's ``s.part IN ...`` filter) — the full
+    composition at ~⅓ the decode cost, so the row fits any driver budget."""
     from latex_ocr_spark.fixtures.oracle_store import ensure_oracle_decodes
     from latex_ocr_spark.pipeline import composed_training_pipeline
 
     ensure_oracle_decodes(sf_dir, profile="small")
     corpus = build_corpus(spark, sf_dir)
-    return composed_training_pipeline(spark, corpus, cfg=ModelConfig.small())
+    return composed_training_pipeline(
+        spark, corpus, cfg=ModelConfig.small(), parts=list(_TP_GATE_PARTS)
+    )
 
 
 def _q_streaming_dedup(spark, sf_dir):
@@ -1808,6 +1822,7 @@ rebuilt0 AS (
   FROM doc_spans s
   LEFT JOIN read_parquet('{_oracle_decodes_sf001()}') o
     ON s.media_ref = o.media_ref
+  WHERE s.part IN ({_TP_GATE_PARTS_SQL})
   GROUP BY s.doc_id
 ),
 rebuilt AS (

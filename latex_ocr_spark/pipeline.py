@@ -184,7 +184,10 @@ def extract_documents(
 
 
 def composed_training_pipeline(
-    spark: SparkSession, corpus_dir: str, cfg: ModelConfig | None = None
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ModelConfig | None = None,
+    parts: list[int] | None = None,
 ) -> DataFrame:
     """The composed end-to-end training-data pass a data team schedules
     daily (reference analog: the full build→evaluate chain,
@@ -203,10 +206,15 @@ def composed_training_pipeline(
     are the per-executor working set of the reassembled TEXT, not the
     images — the decode output is exactly what a real pipeline would
     checkpoint to distributed storage between stages.
+
+    ``parts`` prunes the extraction scan to the listed doc partitions
+    (directory-level PartitionFilters — the same knob as ``extract_spans``);
+    the correctness gate runs a subset so the row's cost is bounded while
+    still exercising the full composition.
     """
     from .operators import dedup as D
 
-    flat = extract_spans(spark, corpus_dir, cfg=cfg)
+    flat = extract_spans(spark, corpus_dir, cfg=cfg, parts=parts)
     rebuilt = (
         flat.groupBy("doc_id")
         .agg(
