@@ -873,6 +873,75 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations: both nation-keyed dim chains
+    broadcast, lineitem ⋈ orders is the only key shuffle, cross-pair
+    predicate post-join as the spec writes it —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q7
+
+    return tpch_q7(
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting: returns revenue per customer for one
+    quarter, customer+nation broadcast, deterministic top-20
+    (TakeOrderedAndProject) — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q10
+
+    return tpch_q10(
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution: LEFT OUTER join preserving
+    zero-order customers + double aggregation —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q13
+
+    return tpch_q13(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier: quarterly per-supplier revenue, max kept via 1-row
+    broadcast scalar join (Q22's threshold pattern); revenue rounded before
+    the comparison on both engines —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q15
+
+    return tpch_q15(
+        _tbl(spark, sf_dir, "supplier"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue: OR-of-ANDs predicate spanning both tables
+    over a broadcast part dim — the fact table never shuffles —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q19
+
+    return tpch_q19(_tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem"))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms: tf groupBy → df reusing tf's output →
+    1-row broadcast N → per-doc top-k window, deterministic (tfidf DESC,
+    term ASC) — latex_ocr_spark/operators/text_analysis.py."""
+    return TA.tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
 def _q_tpch_q4(spark, sf_dir):
     """Q4 order-priority checking: correlated EXISTS decorrelated to a LEFT
     SEMI join on the returned-lines key set — the semi-join optimizer shape
@@ -1058,8 +1127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked rows FIRST: the round-5 driver artifact cut
         # off at the first 50 registry entries (dict order), so entries the
-        # driver has not yet hash-checked lead the dict. Rows 7+ are all
+        # driver has not yet hash-checked lead the dict (round-6 additions,
+        # then the rows the r5 artifact missed). Later rows are all
         # driver-green as of CORRECTNESS_r05.json.
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
@@ -1606,6 +1682,115 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation,
+         cn.n_name AS cust_nation,
+         CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(round(c_acctbal, 2) AS DOUBLE) AS c_acctbal,
+       n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "tpch_q13": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+        "tpch_q19": """
+SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
+       AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+       AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
+       AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+              AS DOUBLE) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
 """,
         "tpch_q3": """
 SELECT l_orderkey,

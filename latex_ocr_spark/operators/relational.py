@@ -233,6 +233,172 @@ def tpch_q14(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def tpch_q7(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations (NATION_1 ⇄ NATION_2,
+    ship years 1995-1997). Both nation-keyed dimension chains
+    (supplier→nation, customer→nation via orders) are tiny and broadcast;
+    the only key shuffle is lineitem ⋈ orders. The cross-pair predicate
+    ((supp=1 ∧ cust=2) ∨ (supp=2 ∧ cust=1)) is a post-join filter exactly
+    as the spec writes it — on two broadcast columns, so it costs nothing
+    extra at the fact scan."""
+    nat2 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = supplier.join(
+        F.broadcast(nat2), supplier.s_nationkey == nat2.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat2), customer.c_nationkey == nat2.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q10(
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: revenue lost to returns
+    (l_returnflag = 'R') per customer for one quarter of orders. Customer
+    and nation broadcast; lineitem ⋈ orders is the key shuffle; top 20 via
+    TakeOrderedAndProject with c_custkey as the deterministic tie-break."""
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(ord_f, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def tpch_q13(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: the spec's
+    o_comment NOT LIKE filter becomes o_orderpriority <> '4-NOT SPECIFIED'
+    — the synthetic schema carries no comment column). The double
+    aggregation over a LEFT OUTER join is the load-bearing shape: customers
+    with zero qualifying orders must survive into the c_count = 0 bucket.
+    Orders shuffle on custkey once; the second groupBy is over ≤ a few
+    hundred distinct counts."""
+    ord_f = orders.filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ord_f, customer.c_custkey == ord_f.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q15(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue over one quarter, then
+    keep the supplier(s) hitting the maximum. The max is a 1-row broadcast
+    joined back against the (already tiny) revenue aggregate — the same
+    scalar-threshold decorrelation as Q22; the fact table is scanned once
+    and shuffles once (on suppkey). Revenue is rounded to 2 dp BEFORE the
+    max comparison on both engines so float summation order cannot flip
+    the equality."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q19(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: p_type stands in for the
+    missing p_container, and the spec's shipmode/shipinstruct guards drop —
+    no such columns). The OR-of-ANDs predicate spans both tables, so it
+    stays a post-join filter on a broadcast part dim; the per-branch
+    l_quantity bounds let nothing push below the join, but the join itself
+    is broadcast so the fact never shuffles at all."""
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+         & q.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "MEDIUM")
+           & q.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE")
+           & q.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def tpch_q1(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 pricing summary (the canonical groupBy-agg benchmark shape)."""
     return (

@@ -8,7 +8,7 @@ DuckDB oracle formula in __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Per-language marker lexicons for the whole-word stopword heuristic:
@@ -456,4 +456,46 @@ def fingerprint(corpus: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp_md5"),
         F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+    )
+
+
+def tfidf_top_terms(corpus: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword-extraction pass a
+    curation pipeline uses for topic tagging / domain mixing.
+
+    All built-in expressions, three shuffles total, each on a key that
+    scales: (1) tf = groupBy(doc_id, term) over the exploded lower-cased
+    token stream; (2) df = groupBy(term) over the DISTINCT (term, doc)
+    pairs the tf aggregate already produced — document frequency reuses
+    tf's output, the corpus is never re-scanned; (3) the per-doc top-k
+    window on doc_id. N (corpus size) is a 1-row broadcast joined in, the
+    same scalar pattern as the Q22 threshold. idf = ln((N+1)/(df+1)) + 1
+    (smoothed; no zero/negative weights), rounded at 6 dp only at emission.
+
+    Ranking tie-break is (tfidf DESC, term ASC) so top-k is deterministic
+    and engine-independent."""
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
