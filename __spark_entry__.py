@@ -942,6 +942,36 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return TA.tfidf_top_terms(_documents(spark, sf_dir), k=3)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the eval set is the doc_id % 97 = 3 slice
+    of the corpus (planted, so the oracle mirrors it exactly); every doc is
+    emitted with its count of shared distinct 5-gram shingles against the
+    broadcast benchmark shingle set —
+    latex_ocr_spark/operators/text_analysis.py."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return TA.decontaminate(docs, bench, n=5)
+
+
+def _q_repetition_ratio(spark, sf_dir):
+    """Within-doc bigram repetition (Gopher-style quality signal) — pure
+    per-row expressions, zero shuffles —
+    latex_ocr_spark/operators/text_analysis.py."""
+    return TA.repetition_ratio(_documents(spark, sf_dir), n=2)
+
+
+# language → target word budget for the sample_to_budget gate row (shared
+# verbatim by the DuckDB oracle's CASE expression below)
+_MIX_BUDGETS = {"en": 10000, "de": 4000, "fr": 4000, "es": 4000}
+
+
+def _q_sample_to_budget(spark, sf_dir):
+    """Token-budget data mixing: per-language word totals → sampling rate →
+    deterministic md5-threshold keep test (fully parallel; no ordered fill)
+    — latex_ocr_spark/operators/text_analysis.py."""
+    return TA.sample_to_budget(_documents(spark, sf_dir), _MIX_BUDGETS)
+
+
 def _q_tpch_q4(spark, sf_dir):
     """Q4 order-priority checking: correlated EXISTS decorrelated to a LEFT
     SEMI join on the returned-lines key set — the semi-join optimizer shape
@@ -1136,6 +1166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q19": _q_tpch_q19,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "decontaminate": _q_decontaminate,
+        "repetition_ratio": _q_repetition_ratio,
+        "sample_to_budget": _q_sample_to_budget,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
@@ -1761,6 +1794,70 @@ WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
        AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
        AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+        "decontaminate": """
+WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(greatest(len(w) - 4, 1) AS BIGINT) + 1)) AS i
+        FROM wl)
+  WHERE len(string_split(array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' '), ' ')) = 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 3),
+hits AS (
+  SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM grams JOIN bench USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "repetition_ratio": """
+WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(greatest(len(w) - 1, 1) AS BIGINT) + 1)) AS i
+        FROM wl)
+  WHERE len(string_split(array_to_string(w[CAST(i AS INT):CAST(i AS INT)+1], ' '), ' ')) = 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+         CAST(round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4)
+              AS DOUBLE) AS rep_ratio
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.rep_ratio, 0.0) AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "sample_to_budget": f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END AS lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT)
+           AS n_words
+  FROM (SELECT doc_id, text, {score_cols} FROM documents)
+),
+rates AS (
+  SELECT lang,
+         least(1.0,
+               CAST(CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 4000
+                              WHEN 'fr' THEN 4000 WHEN 'es' THEN 4000
+                              ELSE 0 END AS DOUBLE)
+               / sum(n_words)) AS rate
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_words,
+       CAST(round(r.rate, 6) AS DOUBLE) AS rate
+FROM scored s JOIN rates r USING (lang)
+WHERE substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || s.text), 1, 8)
+      < printf('%08x', least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
+                             4294967295))
 """,
         "tfidf_top_terms": """
 WITH toks AS (

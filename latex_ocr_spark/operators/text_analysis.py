@@ -499,3 +499,126 @@ def tfidf_top_terms(corpus: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-word
+    shingle with an evaluation set — the pass every serious training-data
+    pipeline runs so test questions never leak into pretraining.
+
+    The benchmark side is tiny by nature (eval suites are thousands of
+    rows, the corpus is trillions), so its distinct shingle set broadcasts
+    and the check is a broadcast LEFT SEMI-shaped aggregation: explode the
+    corpus's n-gram stream (map-side), inner-join the broadcast benchmark
+    shingles, count hits per doc, left-join the counts back. Corpus rows
+    shuffle only on doc_id for the hit count — no corpus self-join, no
+    benchmark-side scan repetition.
+
+    Emits every corpus doc with ``n_hits`` (0 = clean) so the caller
+    chooses the policy (drop, downweight, audit)."""
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.lower(F.col("text")), " ")
+        gram = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i, F.lit(n))
+            ),
+        )
+        return df.select(
+            "doc_id", F.explode(gram).alias("g")
+        ).filter(F.size(F.split(F.col("g"), " ")) == n).distinct()
+
+    bench_g = grams(benchmark).select("g").distinct()
+    hits = (
+        grams(corpus)
+        .join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_ratio(corpus: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document n-gram repetition (Gopher-style quality signal):
+    1 − distinct n-grams / total n-grams. Boilerplate, keyword stuffing and
+    templated spam score high; natural prose scores near 0.
+
+    Pure per-row expressions — zero shuffles, whole-stage codegen end to
+    end; the only cost is the transform over each doc's own token list."""
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))),
+        ),
+        lambda g: F.size(F.split(g, " ")) == n,
+    )
+    total = F.size(grams)
+    return corpus.select(
+        "doc_id",
+        total.alias("n_grams"),
+        F.when(total > 0,
+               F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4)
+               ).otherwise(F.lit(0.0)).cast("double").alias("rep_ratio"),
+    )
+
+
+def sample_to_budget(corpus: DataFrame, budgets: dict[str, int]) -> DataFrame:
+    """Token-budget data mixing: downsample each language stratum to a
+    target word budget with a DETERMINISTIC per-doc hash test — the fully
+    parallel alternative to greedy ordered filling (which is inherently
+    sequential per stratum and would bottleneck one task per language at
+    100 TB).
+
+    Mechanics: one aggregation computes each stratum's total word count;
+    rate = min(1, budget/total) becomes a zero-padded 8-hex threshold; a
+    doc survives iff the first 8 hex chars of md5(doc_id text) sort below
+    it — uniform on [0, 16^8), engine-stable, reproducible run to run.
+    The expected surviving token mass is the budget (exact-fill needs a
+    global sort; sampling is what scales). Strata totals ride a broadcast
+    join; the corpus is scanned once and never shuffles."""
+    words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    lang = _lang_pred_expr(F.col("text"))
+    base = corpus.select("doc_id", "text", lang.alias("lang"), words.alias("n_words"))
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    totals = (
+        base.groupBy("lang")
+        .agg(F.sum("n_words").alias("stratum_words"))
+        .withColumn("budget", F.coalesce(budget_expr[F.col("lang")], F.lit(0)))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), F.col("budget") / F.col("stratum_words"))
+        )
+    )
+    # cap at 16^8 - 1: rate = 1.0 would render 9 hex digits and lpad
+    # truncates — 'ffffffff' keeps everything but the 1-in-4B exact match
+    threshold = F.lpad(
+        F.lower(F.hex(
+            F.least(
+                F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"),
+                F.lit(4294967295),
+            )
+        )),
+        8, "0",
+    )
+    return (
+        base.join(F.broadcast(totals), "lang")
+        .filter(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                           F.lit(":"), F.col("text"))), 1, 8)
+                < threshold)
+        .select("doc_id", "lang", "n_words",
+                F.round("rate", 6).cast("double").alias("rate"))
+    )

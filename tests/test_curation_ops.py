@@ -1,0 +1,86 @@
+"""Unit oracles for the round-6 curation operators (decontaminate,
+repetition_ratio, sample_to_budget, tfidf_top_terms) — tiny hand-checkable
+corpora; the sf0.01 hash gate covers them at scale."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from latex_ocr_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different sentence with no overlap at all here"),
+        (3, "the quick brown fox jumps over the lazy dog tonight instead"),
+        (4, "spam spam spam spam spam spam spam spam"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_shingles(spark, docs):
+    """Doc 3 shares the 5-gram 'the quick brown fox jumps' (and more) with
+    benchmark doc 1; doc 2 and doc 4 share none."""
+    bench = docs.filter("doc_id = 1")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in TA.decontaminate(docs, bench, n=5).collect()}
+    assert got[2] == (0, False)
+    assert got[4] == (0, False)
+    # doc 1 is the benchmark itself: every one of its 6 distinct 5-grams hits
+    assert got[1] == (6, True)
+    # doc 3 shares exactly the 5 five-grams of the common 9-word prefix
+    assert got[3] == (5, True)
+
+
+def test_repetition_ratio_bounds(spark, docs):
+    got = {r.doc_id: (r.n_grams, r.rep_ratio)
+           for r in TA.repetition_ratio(docs, n=2).collect()}
+    # doc 4: 7 bigrams, all 'spam spam' -> ratio 1 - 1/7
+    assert got[4] == (7, round(1 - 1 / 7, 4))
+    # doc 2: no repeated bigram
+    assert got[2][1] == 0.0
+    # doc 1: 9 bigrams, all distinct ('the quick' vs 'the lazy' differ)
+    assert got[1] == (9, 0.0)
+
+
+def test_repetition_ratio_empty_doc(spark):
+    one = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+    got = TA.repetition_ratio(one, n=2).collect()[0]
+    assert (got.n_grams, got.rep_ratio) == (0, 0.0)
+
+
+def test_sample_to_budget_deterministic_and_rate(spark):
+    """The md5-threshold test reproduces exactly the python-side rule, and
+    rate = min(1, budget/total) per stratum."""
+    rows = [(i, "the a of and to in is was for on with as by at it from")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budgets = {"en": 800}  # total = 200 docs * 16 words; rate = 0.25
+    out = TA.sample_to_budget(docs, budgets).collect()
+    assert out and all(r.lang == "en" and r.rate == 0.25 for r in out)
+    threshold = format(int(0.25 * 2**32), "08x")
+    expect = {
+        i for i, text in rows
+        if hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:8] < threshold
+    }
+    assert {r.doc_id for r in out} == expect
+    # rerun is byte-identical (no RNG anywhere)
+    assert {r.doc_id for r in TA.sample_to_budget(docs, budgets).collect()} == expect
+
+
+def test_tfidf_top_terms_orders_by_discriminative_weight(spark):
+    rows = [
+        (1, "alpha alpha alpha shared shared"),
+        (2, "beta beta shared shared shared"),
+        (3, "gamma shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TA.tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in got}
+    # 'shared' has df=3 (idf floor); each doc's unique term wins rank 1
+    assert top == {1: "alpha", 2: "beta", 3: "gamma"}
+    assert all(r.rank == 1 for r in got)
