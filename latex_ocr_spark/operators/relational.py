@@ -243,10 +243,14 @@ def tpch_q7(
     """TPC-H Q7 volume shipping between two nations (NATION_1 ⇄ NATION_2,
     ship years 1995-1997). Both nation-keyed dimension chains
     (supplier→nation, customer→nation via orders) are tiny and broadcast;
-    the only key shuffle is lineitem ⋈ orders. The cross-pair predicate
-    ((supp=1 ∧ cust=2) ∨ (supp=2 ∧ cust=1)) is a post-join filter exactly
-    as the spec writes it — on two broadcast columns, so it costs nothing
-    extra at the fact scan."""
+    the only key shuffle is lineitem ⋈ orders. Orders joins the broadcast
+    two-nation customer dim BEFORE that exchange — the inner broadcast join
+    is map-side, so only orders of the two qualifying nations (~2/25 of
+    rows at spec selectivity) ride the shuffle; joining customers after the
+    fact exchange would shuffle all 25 nations' orders and discard 23/25 of
+    them post-join. The cross-pair predicate ((supp=1 ∧ cust=2) ∨ (supp=2 ∧
+    cust=1)) is a post-join filter exactly as the spec writes it — on two
+    broadcast columns, so it costs nothing extra at the fact scan."""
     nat2 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     supp = supplier.join(
         F.broadcast(nat2), supplier.s_nationkey == nat2.n_nationkey
@@ -258,10 +262,13 @@ def tpch_q7(
         (F.col("l_shipdate") >= F.lit("1995-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-    return (
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                li.l_orderkey == F.col("o_orderkey"))
+    ord2 = (
+        orders.select("o_orderkey", "o_custkey")
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li.join(ord2, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))

@@ -508,13 +508,17 @@ def decontaminate(
     shingle with an evaluation set — the pass every serious training-data
     pipeline runs so test questions never leak into pretraining.
 
-    The benchmark side is tiny by nature (eval suites are thousands of
-    rows, the corpus is trillions), so its distinct shingle set broadcasts
-    and the check is a broadcast LEFT SEMI-shaped aggregation: explode the
-    corpus's n-gram stream (map-side), inner-join the broadcast benchmark
-    shingles, count hits per doc, left-join the counts back. Corpus rows
-    shuffle only on doc_id for the hit count — no corpus self-join, no
-    benchmark-side scan repetition.
+    The benchmark side is usually tiny (eval suites are thousands of rows,
+    the corpus is trillions), so AQE broadcasts its distinct shingle set
+    from runtime stats and the check becomes a broadcast LEFT SEMI-shaped
+    aggregation: explode the corpus's n-gram stream (map-side), inner-join
+    the benchmark shingles, count hits per doc, left-join the counts back.
+    Corpus rows shuffle only on doc_id for the hit count — no corpus
+    self-join, no benchmark-side scan repetition. No broadcast HINT is
+    planted (house rule: data-dependent sides get none) — a caller passing
+    an oversized benchmark union (every eval suite × distinct 5-grams)
+    degrades to a shuffle join instead of OOMing the driver
+    (tests/test_text_analysis.py pins the degraded plan).
 
     Emits every corpus doc with ``n_hits`` (0 = clean) so the caller
     chooses the policy (drop, downweight, audit)."""
@@ -535,7 +539,7 @@ def decontaminate(
     bench_g = grams(benchmark).select("g").distinct()
     hits = (
         grams(corpus)
-        .join(F.broadcast(bench_g), "g")
+        .join(bench_g, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -550,13 +554,18 @@ def decontaminate(
     )
 
 
-def repetition_ratio(corpus: DataFrame, n: int = 2) -> DataFrame:
+def repetition_ratio(
+    corpus: DataFrame, n: int = 2, keep_text: bool = False
+) -> DataFrame:
     """Within-document n-gram repetition (Gopher-style quality signal):
     1 − distinct n-grams / total n-grams. Boilerplate, keyword stuffing and
     templated spam score high; natural prose scores near 0.
 
     Pure per-row expressions — zero shuffles, whole-stage codegen end to
-    end; the only cost is the transform over each doc's own token list."""
+    end; the only cost is the transform over each doc's own token list.
+    ``keep_text`` carries the document through so a pipeline stage can gate
+    on the ratio without a join back (the gate query wants the scores
+    alone)."""
     words = F.split(F.lower(F.col("text")), " ")
     grams = F.filter(
         F.transform(
@@ -568,6 +577,7 @@ def repetition_ratio(corpus: DataFrame, n: int = 2) -> DataFrame:
     total = F.size(grams)
     return corpus.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         total.alias("n_grams"),
         F.when(total > 0,
                F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4)
@@ -575,7 +585,9 @@ def repetition_ratio(corpus: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def sample_to_budget(corpus: DataFrame, budgets: dict[str, int]) -> DataFrame:
+def sample_to_budget(
+    corpus: DataFrame, budgets: dict[str, int], keep_text: bool = False
+) -> DataFrame:
     """Token-budget data mixing: downsample each language stratum to a
     target word budget with a DETERMINISTIC per-doc hash test — the fully
     parallel alternative to greedy ordered filling (which is inherently
@@ -584,8 +596,11 @@ def sample_to_budget(corpus: DataFrame, budgets: dict[str, int]) -> DataFrame:
 
     Mechanics: one aggregation computes each stratum's total word count;
     rate = min(1, budget/total) becomes a zero-padded 8-hex threshold; a
-    doc survives iff the first 8 hex chars of md5(doc_id text) sort below
-    it — uniform on [0, 16^8), engine-stable, reproducible run to run.
+    doc survives iff the first 8 hex chars of md5(doc_id) sort below it —
+    uniform on [0, 16^8), engine-stable, reproducible run to run. The id
+    alone is hashed (not the text): it is already uniform and
+    deterministic, and hashing the full document would cost a second
+    full-text CPU pass at 100 TB for no extra entropy.
     The expected surviving token mass is the budget (exact-fill needs a
     global sort; sampling is what scales). Strata totals ride a broadcast
     join; the corpus is scanned once and never shuffles."""
@@ -616,9 +631,10 @@ def sample_to_budget(corpus: DataFrame, budgets: dict[str, int]) -> DataFrame:
     )
     return (
         base.join(F.broadcast(totals), "lang")
-        .filter(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
-                                           F.lit(":"), F.col("text"))), 1, 8)
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
                 < threshold)
-        .select("doc_id", "lang", "n_words",
+        .select("doc_id",
+                *(["text"] if keep_text else []),
+                "lang", "n_words",
                 F.round("rate", 6).cast("double").alias("rate"))
     )

@@ -191,7 +191,7 @@ def streaming_dedup(
 
 
 def drain(query, empty_batches: int = 2, timeout_s: float = 600.0,
-          poll_s: float = 0.2) -> None:
+          poll_s: float = 0.2, idle_span_s: float = 1.0) -> None:
     """Run a started streaming query until its source is drained, then stop
     it — termination semantics for queries that never reach a terminal state
     on their own.
@@ -205,19 +205,35 @@ def drain(query, empty_batches: int = 2, timeout_s: float = 600.0,
     everything available when the drain began has been processed and its
     offsets committed — then ``stop()``. For NoTimeout queries (where the
     engine goes idle instead of running empty batches) it falls back to the
-    engine-idle signal: no active trigger, no data available, and at least
-    one batch completed.
+    engine-idle signal: no active trigger, no data available, at least one
+    batch completed, AND the idle state holding continuously for
+    ``idle_span_s`` seconds with the committed source offsets unchanged
+    across the whole idle window — two instantaneous flag reads alone could
+    fire in the gap between triggers (or while the file source is still
+    listing a late-landing file) and stop the query before the source is
+    actually drained.
 
     Raises the query's own exception if it failed mid-drain, and
     ``TimeoutError`` (after stopping the query) if neither signal arrives
     within ``timeout_s``.
     """
+    import json
     import time
 
     deadline = time.time() + timeout_s
     consecutive = 0
     last_batch = -1
-    idle_reads = 0
+    idle_since: float | None = None
+    idle_offsets = None
+
+    def _committed_offsets(p):
+        # the per-source endOffset set the engine has committed through —
+        # any new data picked up between idle reads moves at least one
+        return None if p is None else tuple(
+            json.dumps(s.get("endOffset"), sort_keys=True)
+            for s in p.get("sources", [])
+        )
+
     while consecutive < empty_batches:
         exc = query.exception()
         if exc is not None:
@@ -230,14 +246,18 @@ def drain(query, empty_batches: int = 2, timeout_s: float = 600.0,
         st = query.status
         if (last_batch >= 0 and not st["isDataAvailable"]
                 and not st["isTriggerActive"]):
-            # NoTimeout path: engine idle with the source exhausted. Two
-            # consecutive reads guard against the transient between-batches
-            # state where both flags briefly read False.
-            idle_reads += 1
-            if idle_reads >= 2:
+            # NoTimeout path: engine idle with the source exhausted. The
+            # idle state must HOLD for idle_span_s with committed offsets
+            # unchanged — an instantaneous read can land in the gap between
+            # triggers (or mid file-source listing) and misread "drained".
+            now = time.time()
+            offs = _committed_offsets(p)
+            if idle_since is None or offs != idle_offsets:
+                idle_since, idle_offsets = now, offs
+            elif now - idle_since >= idle_span_s:
                 break
         else:
-            idle_reads = 0
+            idle_since = None
         if time.time() > deadline:
             query.stop()
             raise TimeoutError(

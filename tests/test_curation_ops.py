@@ -36,6 +36,36 @@ def test_decontaminate_flags_shared_shingles(spark, docs):
     assert got[3] == (5, True)
 
 
+def test_decontaminate_oversized_benchmark_degrades_to_shuffle_join(
+    spark, docs
+):
+    """No unconditional broadcast hint on the benchmark side (house rule:
+    data-dependent sides get none): with broadcast planning disabled — the
+    stand-in for a benchmark union too big to fit the driver — the shingle
+    join degrades to a shuffle join instead of OOMing, and the answer is
+    unchanged."""
+    bench = docs.filter("doc_id = 1")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = TA.decontaminate(docs, bench, n=5)
+        got = {r.doc_id: r.contaminated for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert got == {1: True, 2: False, 3: True, 4: False}
+    assert "BroadcastHashJoin" not in plan, (
+        "benchmark side was force-broadcast despite disabled thresholds — "
+        "an unconditional hint is back"
+    )
+
+
 def test_repetition_ratio_bounds(spark, docs):
     got = {r.doc_id: (r.n_grams, r.rep_ratio)
            for r in TA.repetition_ratio(docs, n=2).collect()}
@@ -63,9 +93,11 @@ def test_sample_to_budget_deterministic_and_rate(spark):
     out = TA.sample_to_budget(docs, budgets).collect()
     assert out and all(r.lang == "en" and r.rate == 0.25 for r in out)
     threshold = format(int(0.25 * 2**32), "08x")
+    # keep test hashes the doc_id ALONE: uniform + deterministic already,
+    # and hashing text would cost a second full-text CPU pass at 100 TB
     expect = {
-        i for i, text in rows
-        if hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:8] < threshold
+        i for i, _text in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < threshold
     }
     assert {r.doc_id for r in out} == expect
     # rerun is byte-identical (no RNG anywhere)

@@ -125,7 +125,8 @@ def test_job_cli_staged_pipeline(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_staged"))
     rc = job.main(
         ["--input", corpus, "--output", out, "--local", "--cores", "8",
-         "--profile", "small", "--stage", "all"]
+         "--profile", "small", "--stage", "all",
+         "--budgets", "en=1000000", "--max-rep-ratio", "0.9"]
     )
     assert rc == 0
     done = completed_parts(spark, out)
@@ -134,15 +135,19 @@ def test_job_cli_staged_pipeline(spark, tmp_path_factory):
     curated = spark.read.parquet(f"{out}/curated")
     deduped = spark.read.parquet(f"{out}/deduped")
     budgeted = spark.read.parquet(f"{out}/budgeted")
+    mixed = spark.read.parquet(f"{out}/mixed")
     assert set(curated.columns) == {"doc_id", "text"}
     assert set(deduped.columns) == {"doc_id", "text"}
     assert set(budgeted.columns) == {
         "doc_id", "text", "n_words", "n_subwords", "n_chars"
     }
+    # --budgets on the CLI → the sampled shape (lang/n_words/rate ride along)
+    assert set(mixed.columns) == {"doc_id", "text", "lang", "n_words", "rate"}
     assert curated.count() >= deduped.count() == budgeted.count() > 0
+    assert 0 < mixed.count() <= budgeted.count()
 
     # lineage: exactly one row per downstream stage, partition rows untouched
-    for status in ("curated", "deduped", "budgeted"):
+    for status in ("curated", "deduped", "budgeted", "mixed"):
         rows = [r for r in _load_ckpt(out) if r["status"] == status]
         assert len(rows) == 1 and rows[0]["part"] == -1
     assert completed_parts(spark, out) == done
@@ -176,7 +181,8 @@ def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
     """Kill the daily pipeline between stages, restart, and verify finished
     stages are NOT recomputed: the curate lineage row's run_id survives the
     restart (proving the stage was skipped), and the restart completes the
-    remaining stages."""
+    remaining stages — including the mix stage with its full knob set
+    (benchmark decontamination + budget sampling)."""
     from latex_ocr_spark.operators.checkpoint import run_daily_pipeline
     from latex_ocr_spark.sources import build_corpus
     from tests.conftest import SF_DIR
@@ -185,21 +191,85 @@ def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("daily_kill"))
     run_with_checkpoint(spark, corpus, out, cfg=ModelConfig.small())
 
+    # eval set to decontaminate against: a deterministic slice of the
+    # flattened extraction output, materialized like a real benchmark dir
+    bench_dir = str(tmp_path_factory.mktemp("bench")) + "/eval"
+    docs = spark.read.parquet(f"{out}/docs")
+    flat = docs.select(
+        F.split("doc_id", "-").getItem(1).cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.transform("spans", lambda s: s["text"])).alias("text"),
+    )
+    flat.filter(F.col("doc_id") % 7 == 3).write.parquet(bench_dir)
+    # the curate stage upstream keeps lang == 'en' only; a generous en
+    # budget keeps the sampling rate at 1.0 so the count assertions stay
+    # deterministic (real sub-1.0 rates are covered by the gate row)
+    mix_opts = {
+        "benchmark_dir": bench_dir,
+        "budgets": {"en": 1_000_000},
+        "max_rep_ratio": 0.9,
+    }
+
     with pytest.raises(RuntimeError, match="injected failure after stage curate"):
-        run_daily_pipeline(spark, out, out, fail_after_stage="curate")
+        run_daily_pipeline(spark, out, out, fail_after_stage="curate",
+                           mix_opts=mix_opts)
     rows = _load_ckpt(out)
     curate_rows = [r for r in rows if r["status"] == "curated"]
     assert len(curate_rows) == 1
-    assert not any(r["status"] in ("deduped", "budgeted") for r in rows)
+    assert not any(
+        r["status"] in ("deduped", "budgeted", "mixed") for r in rows
+    )
     first_run_id = curate_rows[0]["run_id"]
 
-    results = run_daily_pipeline(spark, out, out)
+    results = run_daily_pipeline(spark, out, out, mix_opts=mix_opts)
     assert results["curate"] == "skipped"
-    assert results["dedup"] != "skipped" and results["budget"] != "skipped"
+    assert all(results[s] != "skipped" for s in ("dedup", "budget", "mix"))
     rows = _load_ckpt(out)
     assert [r["run_id"] for r in rows if r["status"] == "curated"] == [first_run_id]
     budgeted = spark.read.parquet(f"{out}/budgeted")
     assert budgeted.count() == results["budget"]["n_docs"] > 0
+    mixed = spark.read.parquet(f"{out}/mixed")
+    assert set(mixed.columns) == {"doc_id", "text", "lang", "n_words", "rate"}
+    assert mixed.count() == results["mix"]["n_docs"] > 0
+    # decontamination held: no surviving doc shares a 5-gram with the bench
+    # slice (the planted slice IS in the corpus, so its docs must be gone)
+    assert mixed.filter(F.col("doc_id") % 7 == 3).count() == 0
 
     # a second full run is a no-op: every stage already has its lineage row
+    assert set(
+        run_daily_pipeline(spark, out, out, mix_opts=mix_opts).values()
+    ) == {"skipped"}
+
+
+def test_daily_pipeline_new_partitions_mark_downstream_dirty(
+    spark, tmp_path_factory
+):
+    """Extracting NEW partitions into an existing output dir must invalidate
+    every downstream stage row: without the freshness guard the advertised
+    daily pipeline silently serves a stale corpus (the stage rows exist, so
+    resume skips them forever). After the guard, the stages rerun and the
+    refreshed docs flow through to the budgeted output."""
+    from latex_ocr_spark.operators.checkpoint import run_daily_pipeline
+    from latex_ocr_spark.sources import build_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = build_corpus(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("daily_dirty"))
+    run_with_checkpoint(spark, corpus, out, cfg=ModelConfig.small(),
+                        parts=PARTS[:2])
+    first = run_daily_pipeline(spark, out, out)
+    assert all(r != "skipped" for r in first.values())
+    n_before = spark.read.parquet(f"{out}/budgeted").count()
+
+    # same run, nothing new extracted → all downstream stages skip
     assert set(run_daily_pipeline(spark, out, out).values()) == {"skipped"}
+
+    # a later run lands new partitions → every stage row is stale → rerun
+    processed = run_with_checkpoint(
+        spark, corpus, out, cfg=ModelConfig.small(), parts=PARTS[:4]
+    )
+    assert set(processed) == set(PARTS[2:4]), "new partitions must process"
+    second = run_daily_pipeline(spark, out, out)
+    assert all(r != "skipped" for r in second.values()), (
+        f"downstream stages served stale output: {second}"
+    )
+    assert spark.read.parquet(f"{out}/budgeted").count() > n_before

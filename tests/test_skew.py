@@ -133,12 +133,13 @@ def test_minhash_band_join_aqe_skew_split(spark):
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
         )
-        cand, sh = minhash_band_candidates(
+        cand, sh, banded = minhash_band_candidates(
             corpus, n=3, num_hashes=8, bands=4, max_freq=None
         )
         pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
         plan = cand._jdf.queryExecution().executedPlan().toString()
         sh.unpersist()
+        banded.unpersist()
         return pairs, plan
 
     try:

@@ -407,13 +407,14 @@ def main() -> None:
                 "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
             )
             sc.setJobGroup(tag, "minhash band join skew measurement")
-            cand, skew_sh = D.minhash_band_candidates(
+            cand, skew_sh, skew_banded = D.minhash_band_candidates(
                 hot_corpus, n=3, num_hashes=8, bands=4, max_freq=None
             )
             n_cand = len(cand.collect())
             sc.setJobGroup("plan-audit-rest", "")
             plan = cand._jdf.queryExecution().executedPlan().toString()
             skew_sh.unpersist()
+            skew_banded.unpersist()
             with urllib.request.urlopen(
                 f"{base}/api/v1/applications/{app_id}/jobs"
             ) as r:
