@@ -1033,6 +1033,85 @@ def _q_tpch_q21(spark, sf_dir):
     )
 
 
+def _q_tpch_q8(spark, sf_dir):
+    """Q8 national market share (adapted: single-token p_type equality).
+    Part dim broadcasts into lineitem FIRST (fact pruned before any
+    exchange); supplier→nation broadcasts; the two key shuffles are
+    lineitem⋈orders and ⋈customer (customer pre-joined to the broadcast
+    region dim, ~1/5 of rows) — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q8
+
+    return tpch_q8(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """Q9 product-type profit by nation/year (adapted: no partsupp, so
+    supply cost = 0.6 × p_retailprice riding the broadcast part dim).
+    Profit computed map-side per fact row; the single key shuffle is
+    lineitem⋈orders for the order year —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q9
+
+    return tpch_q9(
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """Q12 shipping audit (adapted: no l_shipmode/commitdate/receiptdate —
+    groups by l_linestatus, late = shipped >90 days after the order date).
+    Ship-window filter pushed to the fact scan; one lineitem⋈orders key
+    shuffle; priority split as conditional sums in one aggregation —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q12
+
+    return tpch_q12(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chop sequence packing: per-shard window cumsum
+    assigns every doc its (shard, block, offset) — sharded so no global
+    sort exists at 100 TB; parallelism = n_shards —
+    latex_ocr_spark/operators/packing.py."""
+    from latex_ocr_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), seq_len=256, n_shards=16)
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup: fixed 20-word chunks, first occurrence
+    (lowest doc_id, idx) wins, docs reassembled from surviving chunks —
+    sub-document boilerplate removal that whole-doc dedup can't express —
+    latex_ocr_spark/operators/packing.py."""
+    from latex_ocr_spark.operators.packing import chunk_dedup
+
+    return chunk_dedup(_documents(spark, sf_dir), chunk_words=20)
+
+
+def _q_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment from md5(doc_id) against
+    cumulative-fraction hex boundaries — stable under repartitioning and
+    appends, zero shuffles — latex_ocr_spark/operators/packing.py."""
+    from latex_ocr_spark.operators.packing import stratified_split
+
+    return stratified_split(_documents(spark, sf_dir))
+
+
 def _q_running_user_totals(spark, sf_dir):
     """Arbitrary stateful streaming at the gate: drain the bounded events
     stream through applyInPandasWithState (update mode, memory sink), then
@@ -1196,6 +1275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # round-7 additions (never driver-checked → rotation sorts them first)
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q12": _q_tpch_q12,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_dedup": _q_chunk_dedup,
+        "stratified_split": _q_stratified_split,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
         "tpch_q13": _q_tpch_q13,
@@ -1894,6 +1980,113 @@ FROM scored s JOIN rates r USING (lang)
 WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
                              4294967295))
+""",
+        "pack_sequences": """
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 16
+           AS shard,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS INT) AS n_words
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(floor(COALESCE(sum(n_words) OVER w, 0) / 256.0) AS BIGINT)
+         AS seq_id,
+       CAST(COALESCE(sum(n_words) OVER w, 0) % 256 AS BIGINT) AS "offset",
+       n_words
+FROM base
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""",
+        "chunk_dedup": """
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+         array_to_string(
+           w[(CAST(i AS INT) - 1) * 20 + 1 : (CAST(i AS INT) - 1) * 20 + 20],
+           ' ') AS chunk
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS i
+        FROM wl)
+),
+flagged AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+           AS kept
+  FROM ex
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(f.chunk, ' ' ORDER BY f.idx)
+                FILTER (WHERE f.kept), '') AS text,
+       CAST(count(f.chunk) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(sum(CASE WHEN f.kept THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_kept
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+GROUP BY d.doc_id
+""",
+        "stratified_split": f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{format(min(int(0.98 * 2**32), 2**32 - 1), "08x")}'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{format(min(int((0.98 + 0.01) * 2**32), 2**32 - 1), "08x")}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        "tpch_q8": """
+WITH rnat AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+li AS (
+  SELECT l_orderkey, n.n_name AS supp_nation,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n ON s_nationkey = n.n_nationkey
+)
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE 0 END) / sum(volume), 6) AS DOUBLE)
+         AS mkt_share
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN rnat ON c_nationkey = rnat.n_nationkey
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY o_year ORDER BY o_year
+""",
+        "tpch_q9": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)
+                      - 0.6 * p_retailprice * l_quantity), 2) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+""",
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
 """,
         "tfidf_top_terms": """
 WITH toks AS (

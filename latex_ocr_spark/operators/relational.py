@@ -700,3 +700,166 @@ def tpch_q21(
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")
     )
+
+
+def tpch_q8(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    market_region: str = "EUROPE",
+    target_nation: str = "NATION_1",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 national market share: the fraction of a region's market
+    volume (for one part type, order years 1995-1996) supplied by one
+    nation. Adapted to the synthetic schema: ``p_type`` is a single token,
+    so the part predicate is equality (the spec's three-token type has no
+    counterpart here).
+
+    Plan shape for 100 TB: the part dim (one type, ~1/6 of parts) broadcasts
+    into lineitem FIRST — the fact is pruned before any exchange. The
+    supplier→nation chain broadcasts. The two unavoidable key shuffles are
+    lineitem ⋈ orders (orderkey) and that result ⋈ customer (custkey);
+    customer itself is pre-joined to the broadcast region-nation dim so the
+    shuffled customer side carries only (c_custkey) of the market region
+    (~1/5 of customers). The share division happens on two grouped sums of
+    the same rows — one aggregation, no second scan."""
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == market_region)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust_r = customer.join(
+        F.broadcast(rnat), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_r, F.col("o_custkey") == cust_r.c_custkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year. Adapted: the
+    synthetic schema has no partsupp, so per-unit supply cost is
+    ``cost_factor * p_retailprice`` (a deterministic stand-in with the same
+    join shape — the cost rides the part dim into the fact scan); the part
+    predicate matches a token of ``p_name`` (spec: p_name LIKE '%green%').
+
+    Plan shape for 100 TB: part (filtered, with its cost column) and the
+    supplier→nation chain both broadcast into the lineitem scan — profit is
+    computed per fact row map-side; the single key shuffle is
+    lineitem ⋈ orders (orderkey, for the order year); the aggregation on
+    (nation, year) is a ~25×years-row rollup with map-side partials."""
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    part_f = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        lineitem.join(F.broadcast(part_f), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q12(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+    ship_start: str = "1996-01-01",
+    ship_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shipping-priority audit. Adapted: the synthetic schema has
+    no l_shipmode/l_commitdate/l_receiptdate, so the audit groups by
+    ``l_linestatus`` and a shipment is "late" when it shipped more than
+    ``late_days`` after the order date (the spec's receipt-vs-commit lag has
+    no counterpart). Same shape as the spec: one lineitem ⋈ orders key
+    shuffle with the ship-window filter pushed to the fact scan, priority
+    split as conditional sums in one aggregation."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(ship_start))
+        & (F.col("l_shipdate") < F.lit(ship_end))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("high_line_count"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+                ).otherwise(1)
+            ).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
