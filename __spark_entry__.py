@@ -1083,6 +1083,51 @@ def _q_tpch_q12(spark, sf_dir):
     )
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier (adapted: supply cost derived from the fact
+    as min(l_extendedprice/l_quantity) per (partkey, suppkey)). The spec's
+    correlated MIN decorrelates to a window over partkey on the ONCE-
+    aggregated derived fact; region/part dims broadcast —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q2
+
+    return tpch_q2(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """Q11 important stock (adapted: per-part value = sum(extendedprice ×
+    quantity) over one nation's lineitems). Nation's suppliers broadcast
+    into the fact scan; the fraction×total threshold is a 1-row broadcast
+    aggregate (Q15/Q22 device) — latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q11
+
+    return tpch_q11(
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """Q16 parts/supplier relationship (adapted: supply pairs = distinct
+    lineitem (partkey, suppkey); supplier exclusion = s_acctbal < 0 as a
+    broadcast LEFT ANTI). Count-distinct per (brand, type, size) —
+    latex_ocr_spark/operators/relational.py."""
+    from latex_ocr_spark.operators.relational import tpch_q16
+
+    return tpch_q16(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chop sequence packing: per-shard window cumsum
     assigns every doc its (shard, block, offset) — sharded so no global
@@ -1279,6 +1324,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
         "pack_sequences": _q_pack_sequences,
         "chunk_dedup": _q_chunk_dedup,
         "stratified_split": _q_stratified_split,
@@ -2075,6 +2123,54 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY n_name, o_year
 ORDER BY n_name, o_year DESC
+""",
+        "tpch_q2": """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pf AS (SELECT p_partkey FROM part WHERE p_size = 15 AND p_type = 'STANDARD'),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT pf.p_partkey, rs.s_name, rs.s_acctbal, rs.n_name, ps.cost
+  FROM ps JOIN pf ON l_partkey = p_partkey JOIN rs ON l_suppkey = s_suppkey
+)
+SELECT CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal, s_name, n_name,
+       p_partkey, CAST(cost AS DOUBLE) AS supply_cost
+FROM (SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS mc FROM j)
+WHERE cost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""",
+        "tpch_q11": """
+WITH sn AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+pp AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN sn ON l_suppkey = s_suppkey GROUP BY 1
+),
+t AS (SELECT sum(value) * 0.001 AS thr FROM pp)
+SELECT l_partkey AS p_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+FROM pp, t WHERE round(value, 2) > round(thr, 2)
+ORDER BY value DESC, p_partkey
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+         AND p_brand <> 'BRAND_1' AND p_type <> 'PROMO'
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
         "tpch_q12": """
 SELECT l_linestatus,

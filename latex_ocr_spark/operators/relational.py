@@ -863,3 +863,142 @@ def tpch_q12(
         )
         .orderBy("l_linestatus")
     )
+
+
+def tpch_q2(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    r_name: str = "EUROPE",
+    p_size: int = 15,
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier. Adapted: no partsupp, so the
+    (part, supplier) supply cost is DERIVED from the fact —
+    min(l_extendedprice / l_quantity) per (l_partkey, l_suppkey) — and the
+    synthetic part columns (p_size equality + single-token p_type) stand in
+    for the spec's size + '%BRASS' predicates; output carries the columns
+    the schema has (acctbal, supplier, nation, part, cost).
+
+    Decorrelation shape (the spec's correlated MIN subquery): the derived
+    supply fact is aggregated ONCE (one shuffle on (partkey, suppkey));
+    filtering to the region's suppliers and the qualifying parts happens
+    via broadcast dims BEFORE the per-part minimum, which is a window over
+    partkey — no second scan, no self-join, no correlated re-execution. The
+    window's partkey partitioning is a sub-partitioning of the aggregation
+    key, so AQE plans it off the same exchange."""
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == r_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(rnat), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    part_f = part.filter(
+        (F.col("p_size") == p_size) & (F.col("p_type") == p_type)
+    ).select("p_partkey")
+    ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+            .alias("cost")
+        )
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def tpch_q11(
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    n_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 important stock identification. Adapted: no partsupp, so a
+    part's stock value held by one nation's suppliers is the derived
+    ``sum(l_extendedprice * l_quantity)`` over that nation's lineitems.
+
+    Shape: the nation's suppliers broadcast into the fact scan (fact pruned
+    map-side); ONE aggregation per partkey; the spec's correlated
+    ``fraction × total`` threshold is a 1-row aggregate broadcast back
+    (same device as Q15's max and Q22's avg) — the fact is scanned once,
+    the per-part frame reused for both sides."""
+    supp_n = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = per_part.agg(
+        (F.sum("value") * fraction).alias("thr")
+    )
+    # compare at 2dp on BOTH sides: float-sum order differs across engines,
+    # and a raw > against an unrounded threshold could flip a boundary row
+    # (same device as Q15's rounded-revenue equality)
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.round("value", 2) > F.round("thr", 2))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+def tpch_q16(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    excl_brand: str = "BRAND_1",
+    excl_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship. Adapted: the (part, supplier)
+    pairs come from distinct lineitem (l_partkey, l_suppkey) — the derived
+    supply relation — and the spec's complaint-comment supplier exclusion
+    (no s_comment column) becomes ``s_acctbal < 0`` (delinquent accounts),
+    applied as a broadcast LEFT ANTI join exactly like the spec's NOT IN.
+
+    Shape: distinct pairs are one shuffle on the pair key; the part
+    attribute filter rides a broadcast join; supplier_cnt is a
+    count-distinct per (brand, type, size) — Spark plans the two-level
+    distinct aggregation with map-side partials."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    part_f = part.filter(
+        (F.col("p_brand") != excl_brand) & (F.col("p_type") != excl_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
