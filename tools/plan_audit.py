@@ -303,6 +303,97 @@ def main() -> None:
             )[:8],
         )
     )
+    # 9c. TPC-H Q7 (round-7 reorder): orders joins the broadcast two-nation
+    # customer dim BEFORE the lineitem ⋈ orders join, so at cluster scale
+    # only qualifying orders (~2/25) ride the fact exchange. Evidence: in
+    # the formatted tree the o_custkey = c_custkey BroadcastHashJoin sits
+    # BELOW (higher node id than) the l_orderkey = o_orderkey join.
+    from latex_ocr_spark.operators.relational import tpch_q7
+
+    q7 = tpch_q7(t("nation"), t("customer"), t("supplier"), t("orders"),
+                 t("lineitem"))
+    q7_plan = plan_of(q7)
+    q7_keys = grep_evidence(
+        q7_plan, [r"Left keys \[1\]: \[l_orderkey", r"Left keys \[1\]: \[o_custkey"]
+    )
+    # formatted explain prints node details in post-order (children first),
+    # so the o_custkey join must appear BEFORE the l_orderkey fact join —
+    # i.e. it is a subtree of the fact join's build side
+    ok_order = len(q7_keys) >= 2 and "o_custkey" in q7_keys[0]
+    sections.append(
+        (
+            "TPC-H Q7 — two-nation filter below the fact exchange",
+            "The customer⋈nation chain applies to orders UPSTREAM of the "
+            "lineitem⋈orders join, pre-filtering the orders side to the two "
+            f"qualifying nations (join order verified: {ok_order} — the "
+            "o_custkey join is a subtree of the l_orderkey join's build "
+            "side, printed first in the post-order detail list).",
+            q7_keys + grep_evidence(q7_plan, ["BroadcastHashJoin"])[:4],
+        )
+    )
+
+    # 9d. TPC-H Q2 (derived supply fact): the correlated MIN decorrelates
+    # to ONE aggregation + a window over partkey — no second fact scan, no
+    # self-join, no cartesian.
+    from latex_ocr_spark.operators.relational import tpch_q2
+
+    q2 = tpch_q2(t("region"), t("nation"), t("supplier"), t("lineitem"),
+                 t("part"))
+    q2_plan = plan_of(q2)
+    q2_cross = grep_evidence(q2_plan, ["CartesianProduct", "BroadcastNestedLoop"])
+    q2_scans = q2_plan.count("lineitem.parquet")
+    sections.append(
+        (
+            "TPC-H Q2 — correlated MIN as window over the derived supply fact",
+            "One lineitem scan feeds the (partkey, suppkey) aggregation; the "
+            "per-part minimum is a Window on the same data (cartesian "
+            f"matches: {len(q2_cross)} — must be 0; lineitem scans: "
+            f"{q2_scans} — must be 1).",
+            grep_evidence(q2_plan, ["Window", "HashAggregate", "BroadcastHashJoin"])[:8],
+        )
+    )
+
+    # 9e. sequence packing: the only exchange is the shard hash partition
+    # feeding the per-shard window — no global sort, no cartesian.
+    from latex_ocr_spark.operators.packing import chunk_dedup, pack_sequences
+
+    docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pk = pack_sequences(docs_tbl, seq_len=256, n_shards=16)
+    pk_plan = plan_of(pk)
+    # formatted explain splits node and arguments: count the Arguments
+    # lines that carry hashpartitioning (one per hash exchange)
+    pk_exch = [
+        l for l in pk_plan.splitlines()
+        if "Arguments: hashpartitioning" in l
+    ]
+    sections.append(
+        (
+            "Sequence packing (`pack_sequences`)",
+            "Exactly one hash exchange — on the shard key, feeding the "
+            f"per-shard window sort (hash exchanges: {len(pk_exch)} — must "
+            f"be 1, on shard: {'shard' in (pk_exch + [''])[0]}; parallelism "
+            "= n_shards, no global ordering anywhere).",
+            grep_evidence(
+                pk_plan, ["Arguments: hashpartitioning", "Window", "Sort \\("]
+            )[:8],
+        )
+    )
+
+    # 9f. chunk-level dedup: keeper window on the chunk hash + per-doc
+    # reassembly — two key exchanges, no self-join, no cartesian.
+    cd = chunk_dedup(docs_tbl, chunk_words=20)
+    cd_plan = plan_of(cd)
+    cd_cross = grep_evidence(cd_plan, ["CartesianProduct", "BroadcastNestedLoop"])
+    sections.append(
+        (
+            "Chunk-level exact dedup (`chunk_dedup`)",
+            "Explode is map-side; the keeper window (partition by chunk) and "
+            "the per-doc reassembly aggregation are the only shuffles "
+            f"(cartesian matches: {len(cd_cross)} — must be 0).",
+            grep_evidence(cd_plan, ["Exchange", "Window", "HashAggregate"])[:8],
+        )
+    )
+
     # 10. MEASURED decode-shuffle volume (not just plan shape): run the
     # flagship extraction under a job group and read per-stage shuffle
     # read/write bytes from the status REST API. The (bucket, salt)
