@@ -1128,6 +1128,16 @@ def _q_tpch_q16(spark, sf_dir):
     )
 
 
+def _q_bpe_learn(spark, sf_dir):
+    """Distributed BPE merge training over the documents corpus: one
+    corpus-scale shuffle to the word-frequency table, then per-merge argmax
+    + expression-fold apply on the distinct-vocab table (localCheckpoint'd
+    per round so lineage stays flat). Iterative → no SQL oracle (rows-only
+    here); exact-verified against a pure-python BPE reference in
+    tests/test_bpe_learn.py — latex_ocr_spark/operators/text_analysis.py."""
+    return TA.learn_bpe_merges(_documents(spark, sf_dir), num_merges=12)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chop sequence packing: per-shard window cumsum
     assigns every doc its (shard, block, offset) — sharded so no global
@@ -1327,6 +1337,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": _q_tpch_q2,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
+        "bpe_learn": _q_bpe_learn,
         "pack_sequences": _q_pack_sequences,
         "chunk_dedup": _q_chunk_dedup,
         "stratified_split": _q_stratified_split,

@@ -46,9 +46,10 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 # start from characters, then for each (left, right) pair in order replace
 # every adjacent occurrence with the merged token. Every compound operand is
 # produced by an earlier merge, so the table is well-formed under strict
-# in-order application. A production pipeline would load a learned merges
-# file (e.g. GPT-2's ~50k merges) into the same expression chain; the
-# counting machinery is identical, only the table is a fixture.
+# in-order application. The fixture keeps the subword-count gate row
+# deterministic; the production path LEARNS this table from the corpus with
+# learn_bpe_merges() below (same apply semantics, verified against a
+# pure-python BPE reference) and feeds it into the same expression chain.
 BPE_MERGES: list[tuple[str, str]] = [
     ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
     ("e", "r"), ("o", "u"), ("e", "n"), ("o", "r"), ("e", "s"),
@@ -637,4 +638,107 @@ def sample_to_budget(
                 *(["text"] if keep_text else []),
                 "lang", "n_words",
                 F.round("rate", 6).cast("double").alias("rate"))
+    )
+
+
+def _apply_merge_expr(col, a: str, b: str):
+    """One BPE merge (a, b) → ab applied to an array-of-symbols column as a
+    single left-to-right non-overlapping pass — the original BPE apply rule
+    — via F.aggregate (a fold, JVM-side): append each symbol, except when
+    the accumulator's tail is ``a`` and the symbol is ``b``, in which case
+    the tail is replaced by the merged token. A greedy fold IS the
+    left-to-right pass: a token just formed by this merge can itself be the
+    left operand of the next occurrence exactly when a rescan would merge
+    it too (a == b == ab is impossible since merges strictly grow)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(corpus: DataFrame, num_merges: int = 20) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the training side of the
+    subword counter (``BPE_MERGES`` is its fixture stand-in; this is the
+    production path that fills it). Classic BPE over the word-frequency
+    table, distributed:
+
+    1. ONE corpus-scale shuffle builds (word, count) — after that every
+       iteration runs on the distinct-vocab table, which is orders of
+       magnitude smaller than the corpus (Heaps' law), itself still a
+       distributed DataFrame (10^6-10^8 rows at web scale, never collected).
+    2. Each of ``num_merges`` iterations: explode adjacent symbol pairs
+       weighted by word count, aggregate, take the most frequent pair
+       (deterministic tie-break: count DESC, then (left, right) ASC — a
+       bounded 1-row driver read, same class as Q15's broadcast max), and
+       fold the merge into the symbol arrays (pure expressions, no UDF).
+       The symbol table is localCheckpoint'd per iteration so the lineage
+       (and recompute cost) stays flat across iterations instead of
+       chaining k aggregate-folds.
+
+    Returns (rank, left, right, freq) ordered by rank — feed
+    ``[(r.left, r.right) for r in ...]`` into ``token_count(merges=...)``.
+    Iterative and therefore not SQL-expressible — verified against a
+    pure-python BPE reference in tests/test_bpe_learn.py instead of a
+    DuckDB oracle (the driver records the rows-only check).
+    """
+    from .dedup import _free_local_checkpoint
+
+    wf = (
+        corpus.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+            .alias("syms"),
+            "cnt",
+        )
+    )
+    syms = wf.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            arr = F.col("syms")
+            pairs = F.transform(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("a"), F.element_at(arr, i + 2).alias("b")
+                ),
+            )
+            best = (
+                syms.select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(F.col("freq").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0].freq <= 0:
+                break
+            a, b, freq = best[0].a, best[0].b, int(best[0].freq)
+            merges.append((a, b, freq))
+            nxt = syms.select(
+                _apply_merge_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+            ).localCheckpoint(eager=True)
+            _free_local_checkpoint(syms)
+            syms = nxt
+    finally:
+        _free_local_checkpoint(syms)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "rank int, left string, right string, freq bigint",
     )
