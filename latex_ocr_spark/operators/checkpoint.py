@@ -367,7 +367,10 @@ def run_mix_stage(
        docs sharing any 5-gram shingle with the eval set are anti-joined
        away (both the hit count and the anti-join key on doc_id);
     3. deterministic token-budget sampling per language stratum when
-       ``budgets`` (lang → word budget) is configured.
+       ``budgets`` (lang → word budget) is configured — languages absent
+       from the budget map sample at rate 0, i.e. budgets define the mix
+       EXHAUSTIVELY (the standard mixing contract: unlisted strata are
+       excluded, not passed through).
 
     Unset knobs skip their gate, so the stage degrades gracefully from the
     full mix to a repetition-only pass. The n_words lineage metric rides
