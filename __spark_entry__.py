@@ -1128,6 +1128,14 @@ def _q_tpch_q16(spark, sf_dir):
     )
 
 
+def _q_quality_weighted_sample(spark, sf_dir):
+    """FineWeb-style quality-weighted downsampling: per-doc keep rate
+    interpolated from bounded quality signals, deterministic md5 keep test
+    — one scan, zero shuffles —
+    latex_ocr_spark/operators/text_analysis.py."""
+    return TA.quality_weighted_sample(_documents(spark, sf_dir))
+
+
 def _q_bpe_learn(spark, sf_dir):
     """Distributed BPE merge training over the documents corpus: one
     corpus-scale shuffle to the word-frequency table, then per-merge argmax
@@ -1338,6 +1346,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "bpe_learn": _q_bpe_learn,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "pack_sequences": _q_pack_sequences,
         "chunk_dedup": _q_chunk_dedup,
         "stratified_split": _q_stratified_split,
@@ -2039,6 +2048,30 @@ FROM scored s JOIN rates r USING (lang)
 WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
                              4294967295))
+""",
+        "quality_weighted_sample": f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS INT) AS n_words,
+         {stop_hits} AS stop_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_words,
+         round((least(1.0, n_words / 64.0)
+                + least(1.0, (stop_hits / n_words) / 0.25)) / 2.0, 4)
+           AS quality
+  FROM scored WHERE n_words > 0
+)
+SELECT doc_id, n_words, CAST(quality AS DOUBLE) AS quality,
+       CAST(0.1 + 0.9 * quality AS DOUBLE) AS rate
+FROM q
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x',
+               least(CAST(floor((0.1 + 0.9 * quality)
+                                * 4294967296.0) AS BIGINT),
+                     4294967295))
 """,
         "pack_sequences": """
 WITH base AS (

@@ -742,3 +742,57 @@ def learn_bpe_merges(corpus: DataFrame, num_merges: int = 20) -> DataFrame:
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
         "rank int, left string, right string, freq bigint",
     )
+
+
+def quality_weighted_sample(
+    corpus: DataFrame, low: float = 0.1, high: float = 1.0
+) -> DataFrame:
+    """Quality-weighted downsampling: every doc gets a keep probability
+    interpolated between ``low`` (worst quality) and ``high`` (best) from
+    the quality signals — the FineWeb/DCLM-style curation device that
+    PREFERS high-quality text instead of hard-gating it, preserving corpus
+    diversity while shifting the quality mass.
+
+    The per-doc quality score is the mean of two bounded signals already
+    used by ``quality_score``: min(1, n_words/64) (length) and
+    min(1, stopword_ratio/0.25) (naturalness). The keep test is the same
+    deterministic md5(doc_id)-vs-8-hex-threshold device as
+    ``sample_to_budget`` — engine-exact, reproducible, zero shuffles: the
+    threshold is a pure per-row expression, so the whole pass is one scan
+    inside whole-stage codegen. Emits the survivors with their rate."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    stop_hits = _count_words(F.col("text"), STOPWORDS)
+    q = F.round(
+        (
+            F.least(F.lit(1.0), n_words / F.lit(64.0))
+            + F.least(F.lit(1.0), (stop_hits / n_words) / F.lit(0.25))
+        )
+        / 2.0,
+        4,
+    )
+    # NOT re-rounded: a second 4dp round can land on a .00005 tie where
+    # Spark (half-up) and an oracle (half-even) disagree (seen live at
+    # q=0.5155 -> 0.56395); low + (high-low)*q over the already-4dp q is
+    # bit-identical IEEE arithmetic on both engines
+    rate = F.lit(low) + (F.lit(high) - F.lit(low)) * q
+    threshold = F.lpad(
+        F.lower(F.hex(
+            F.least(
+                F.floor(rate * F.lit(4294967296.0)).cast("bigint"),
+                F.lit(4294967295),
+            )
+        )),
+        8, "0",
+    )
+    return (
+        corpus.filter(n_words > 0)
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < threshold)
+        .select(
+            "doc_id",
+            n_words.cast("int").alias("n_words"),
+            q.cast("double").alias("quality"),
+            rate.cast("double").alias("rate"),
+        )
+    )

@@ -116,3 +116,27 @@ def test_tfidf_top_terms_orders_by_discriminative_weight(spark):
     # 'shared' has df=3 (idf floor); each doc's unique term wins rank 1
     assert top == {1: "alpha", 2: "beta", 3: "gamma"}
     assert all(r.rank == 1 for r in got)
+
+
+def test_quality_weighted_sample_rates_and_determinism(spark):
+    """Keep probability interpolates with quality: a long natural-English
+    doc gets a higher rate than a short stopword-free one, and the md5 keep
+    test mirrors the python rule exactly."""
+    natural = "the cat sat of the mat and a dog ran to the park in town " * 4
+    rows = [(i, natural) for i in range(100)] + [
+        (i, "xyzzy plugh") for i in range(100, 200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TA.quality_weighted_sample(docs).collect()}
+    hi = next(r for i, r in out.items() if i < 100)
+    lo = next((r for i, r in out.items() if i >= 100), None)
+    assert hi.rate > 0.9  # 64 words, stopword-rich -> near the high end
+    if lo is not None:
+        assert lo.rate < 0.2  # 2 words, zero stopwords -> near the floor
+    # survivors match the python-side rule exactly
+    for i, r in out.items():
+        t = format(min(int(r.rate * 2**32), 2**32 - 1), "08x")
+        assert hashlib.md5(str(i).encode()).hexdigest()[:8] < t
+    # rerun is byte-identical
+    again = {r.doc_id for r in TA.quality_weighted_sample(docs).collect()}
+    assert again == set(out)
