@@ -1146,6 +1146,52 @@ def _q_bpe_learn(spark, sf_dir):
     return TA.learn_bpe_merges(_documents(spark, sf_dir), num_merges=12)
 
 
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM fluency scoring: train add-alpha bigram model
+    on the corpus (zip_with slices — zero joins for bigram extraction; one
+    hash-agg shuffle for counts), score every doc's cross-entropy +
+    perplexity via hint-free equi-joins (AQE broadcasts the pruned model) —
+    latex_ocr_spark/operators/lm.py."""
+    from latex_ocr_spark.operators.lm import lm_score
+
+    return lm_score(_documents(spark, sf_dir), alpha=0.5)
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction (email/IPv4/E.164 masking + per-category counts):
+    pure regexp built-ins, per-row, zero shuffles. The gate input splices a
+    deterministic doc_id-derived contact line into every document so the
+    masking path is exercised on 100% of rows (the synthetic corpus carries
+    no organic PII) — latex_ocr_spark/operators/text_analysis.py."""
+    docs = _documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +14155550"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return TA.pii_redact(seeded)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the (dup-augmented) embeddings:
+    deterministic constant-K centroid argmax assignment, intra-cluster
+    cosine pairs via an equi-join on cluster id (never a cross join),
+    min-id survivor per near-dup neighborhood —
+    latex_ocr_spark/operators/similarity.py."""
+    from latex_ocr_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embeddings(spark, sf_dir), n_clusters=8, threshold=0.99)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chop sequence packing: per-shard window cumsum
     assigns every doc its (shard, block, offset) — sharded so no global
@@ -1339,6 +1385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-7 additions (never driver-checked → rotation sorts them first)
+        "lm_score": _q_lm_score,
+        "pii_redact": _q_pii_redact,
+        "semantic_dedup": _q_semantic_dedup,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
@@ -1450,7 +1499,92 @@ def oracle_sql() -> dict[str, str]:
         "array_to_string(string_split(text, ' ')[6:], ' ') ELSE text END"
     )
 
+    # pii_redact: the SQL embeds the SAME pattern strings the Spark operator
+    # uses (built from TA.PII_RULES, not retyped) — patterns live in the
+    # Java-regex/RE2 common subset so both engines match identically.
+    _pii_seed = (
+        "WITH seeded AS (\n"
+        "  SELECT doc_id,\n"
+        "         text || ' contact user' || doc_id || '@example.com via 10.'\n"
+        "         || (doc_id % 200) || '.0.' || (doc_id % 250)\n"
+        "         || ' tel +14155550' || (doc_id % 100) AS text\n"
+        "  FROM documents\n"
+        ")\n"
+    )
+    _pii_red = "text"
+    _pii_counts = []
+    for _name, _pat, _token in TA.PII_RULES:
+        _pii_counts.append(
+            "CAST(len(regexp_extract_all(text, '" + _pat + "')) AS INT)"
+            " AS n_" + _name
+        )
+        _pii_red = (
+            "regexp_replace(" + _pii_red + ", '" + _pat + "', '"
+            + _token + "', 'g')"
+        )
+    _pii_sql = (
+        _pii_seed
+        + "SELECT doc_id,\n  " + _pii_red + " AS text_redacted,\n  "
+        + ",\n  ".join(_pii_counts)
+        + "\nFROM seeded"
+    )
+
     return {
+        "lm_score": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+model AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cb) AS cc FROM model GROUP BY w1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM model)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       avg(-ln((model.cb + 0.5) / (ctx.cc + 0.5 * voc.v))) AS cross_entropy,
+       exp(avg(-ln((model.cb + 0.5) / (ctx.cc + 0.5 * voc.v)))) AS perplexity
+FROM bg JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+GROUP BY doc_id
+""",
+        "pii_redact": _pii_sql,
+        "semantic_dedup": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM emb ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, c.cvec)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                       * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cents c) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CAST(round(list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS DOUBLE)
+        >= 0.99
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+""",
         "span_explode_counts": _CTE
         + """
 SELECT kind, CAST(count(*) AS BIGINT) AS n_spans,

@@ -412,3 +412,72 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+    return_cached: bool = False,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the embedding space into clusters, then mark every vector that has a
+    same-cluster neighbor with cosine >= threshold and a smaller vec_id as
+    a duplicate — one deterministic survivor (the min id) per near-dup
+    neighborhood. Output: (vec_id, cluster, kept) for EVERY vector.
+
+    Cluster assignment is one deterministic argmax pass against the
+    n_clusters lowest-id vectors as centroids. The contract is "dedup under
+    any deterministic assignment" — swap in ivf_train()'s k-means codebook
+    for a learned one; the argmax-join shape is identical. Centroids are a
+    constant-K broadcast (bounded by the parameter, not the data, so the
+    house no-unconditional-hint rule doesn't apply).
+
+    100 TB: intra-cluster pairwise work is Σ cᵢ² — n_clusters scales with
+    corpus size to hold cluster populations constant (SemDeDup runs ~100k
+    clusters at web scale), and the pair join is an equi-join shuffling on
+    cluster id, never a global cross join. `assigned` feeds both self-join
+    sides AND the final left join, so it is persisted (the planner would
+    recompute the argmax per branch otherwise); pass return_cached=True to
+    receive it for explicit unpersist (band_candidates' cleanup pattern).
+    """
+    base = emb_with_dups(embeddings)
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    csim = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "embedding")
+        .persist()
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), "cluster", F.col("embedding").alias("qv")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), "cluster", F.col("embedding").alias("nv")
+    )
+    dups = (
+        with_cosine(a.join(b, ["cluster"]).filter(F.col("vec_a") < F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        assigned.select("vec_id", "cluster")
+        .join(dups.withColumn("dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.when(F.col("dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )
+    return (out, assigned) if return_cached else out
