@@ -1146,6 +1146,21 @@ def _q_bpe_learn(spark, sf_dir):
     return TA.learn_bpe_merges(_documents(spark, sf_dir), num_merges=12)
 
 
+def _q_incremental_neardup(spark, sf_dir):
+    """Daily incremental dedup: today's batch (the synthetic near/exact-dup
+    copies, doc_id >= 1000000) checked against the historical index (the
+    originals) via a cross-side MinHash band equi-join — the index is
+    touched only through its (doc_id, band, bucket) signature table, the
+    shape that lets a 100 TB pipeline dedup daily without an index
+    self-join — latex_ocr_spark/operators/dedup.py."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return D.incremental_neardup_pairs(
+        corpus.filter(F.col("doc_id") >= 1000000),
+        corpus.filter(F.col("doc_id") < 1000000),
+        threshold=0.5,
+    )
+
+
 def _q_lm_score(spark, sf_dir):
     """CCNet-style bigram-LM fluency scoring: train add-alpha bigram model
     on the corpus (zip_with slices — zero joins for bigram extraction; one
@@ -1385,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-7 additions (never driver-checked → rotation sorts them first)
+        "incremental_neardup": _q_incremental_neardup,
         "lm_score": _q_lm_score,
         "pii_redact": _q_pii_redact,
         "semantic_dedup": _q_semantic_dedup,
@@ -1530,6 +1546,35 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "incremental_neardup": _DUP_CTE + """,
+wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|'
+          || w[CAST(i AS INT)+2]) AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(greatest(len(w) - 2, 1) AS BIGINT) + 1)) AS i
+        FROM wl)
+  WHERE (w[CAST(i AS INT)] || '|' || w[CAST(i AS INT)+1] || '|'
+         || w[CAST(i AS INT)+2]) IS NOT NULL
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh0 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS index_doc, b.doc_id AS new_doc,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle
+  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT index_doc, new_doc,
+         CAST(round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = index_doc
+  JOIN sizes sb ON sb.doc_id = new_doc
+)
+SELECT index_doc, new_doc, jaccard FROM jac WHERE jaccard >= 0.5
+""",
         "lm_score": """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t

@@ -201,34 +201,24 @@ def candidate_jaccard(
     return _jaccard_from_inter(inter, sh, threshold)
 
 
-def minhash_band_candidates(
-    corpus: DataFrame,
-    n: int = 3,
-    num_hashes: int = 128,
-    bands: int = 64,
-    max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """MinHash signature build + LSH banding → candidate pairs.
+def minhash_banded(
+    sh: DataFrame, num_hashes: int = 128, bands: int = 64
+) -> DataFrame:
+    """(doc_id, band, bucket) banded MinHash signatures for a shingle table.
 
-    Returns ``(candidates, sh, banded)``: the distinct (doc_a, doc_b)
-    candidate pairs from the band-bucket equi-join, the persisted shingle
-    table the caller verifies against (``candidate_jaccard``), and the
-    persisted banded-signature table — BOTH persisted frames are returned
-    so callers that materialize candidates eagerly (plan audits, skew
-    tests) can unpersist them instead of leaking cached blocks per
-    invocation. Split out of
-    ``minhash_lsh_pairs`` so the band self-join — the one shuffle in this
-    suite whose key CAN skew (a bucket shared by a large clone family holds
-    every clone's row) — is directly inspectable; the skew evidence
-    (tests/test_skew.py + PLANS.md) drives this stage under AQE skew-split
-    and checks the join's partition handling, not the verified output."""
+    Factored out of ``minhash_band_candidates`` so the incremental path can
+    sign today's batch and the historical index with the SAME fixed hash
+    family (rng seed is a module constant — signatures computed on different
+    days/jobs stay join-compatible, which is what makes a persisted
+    signature index possible at all). Not persisted here: the self-join
+    caller persists (both sides read it); the incremental caller reads each
+    side once and a persist would only waste executor memory."""
     rows_per_band = num_hashes // bands
     p = 2147483647  # 2^31 - 1
     rng = np.random.default_rng(0x31A5_2026)
     rng_a = (1 + rng.integers(0, p - 1, num_hashes)).tolist()
     rng_b = rng.integers(0, p, num_hashes).tolist()
 
-    sh = shingles(corpus, n=n, max_freq=max_freq).persist()
     keyed = sh.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).cast("long").alias("x")
     )
@@ -251,13 +241,41 @@ def minhash_band_candidates(
                 F.xxhash64(*cols).alias("bucket"),
             )
         )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def minhash_band_candidates(
+    corpus: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    max_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """MinHash signature build + LSH banding → candidate pairs.
+
+    Returns ``(candidates, sh, banded)``: the distinct (doc_a, doc_b)
+    candidate pairs from the band-bucket equi-join, the persisted shingle
+    table the caller verifies against (``candidate_jaccard``), and the
+    persisted banded-signature table — BOTH persisted frames are returned
+    so callers that materialize candidates eagerly (plan audits, skew
+    tests) can unpersist them instead of leaking cached blocks per
+    invocation. Split out of
+    ``minhash_lsh_pairs`` so the band self-join — the one shuffle in this
+    suite whose key CAN skew (a bucket shared by a large clone family holds
+    every clone's row) — is directly inspectable; the skew evidence
+    (tests/test_skew.py + PLANS.md) drives this stage under AQE skew-split
+    and checks the join's partition handling, not the verified output."""
+    sh = shingles(corpus, n=n, max_freq=max_freq).persist()
     # persisted: the self-join below reads banded on BOTH sides — without this
     # the 128-aggregate signature build runs twice (measured 2× stage cost)
-    banded = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
-    )
+    banded = minhash_banded(sh, num_hashes=num_hashes, bands=bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -299,6 +317,89 @@ def minhash_lsh_pairs(
         corpus, n=n, num_hashes=num_hashes, bands=bands, max_freq=max_freq
     )
     return candidate_jaccard(candidates, sh, threshold)
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 64,
+    blacklist: DataFrame | None = None,
+    return_cached: bool = False,
+):
+    """Daily-batch incremental near-dup detection: (index_doc, new_doc,
+    jaccard ≥ threshold) pairs linking each NEW document to the EXISTING
+    corpus documents it near-duplicates. doc_ids must be globally unique
+    across both inputs (they key the Jaccard size lookups).
+
+    This is the operation a running 100 TB pipeline performs daily: dedup
+    today's crawl against the accumulated index WITHOUT re-joining the index
+    against itself. The banded-signature cross-side equi-join touches the
+    index only through its (doc_id, band, bucket) signature table — in
+    production that table is computed once per doc at ingest (the SAME fixed
+    hash family, see minhash_banded) and persisted columnar, so each day
+    pays: one scan of the new batch + one bucket-join against stored
+    signatures. Intra-batch duplicates are deliberately out of scope — run
+    minhash_lsh_pairs on the batch for those.
+
+    No per-side frequency cap is applied (a cap computed per side would
+    diverge from one computed jointly); instead ``blacklist`` takes the
+    production artifact — a hot-shingle table maintained ON THE INDEX —
+    applied as a hint-free LEFT ANTI join on both sides (same degrade-safe
+    shape as ngram_jaccard's). Verification is exact Jaccard on candidate
+    pairs only, sizes from each side's own shingle table. With
+    return_cached=True also returns the two persisted shingle tables for
+    explicit unpersist (each feeds banding + verification + sizes)."""
+    sh_new = shingles(new_docs, n=n, max_freq=None)
+    sh_idx = shingles(index_docs, n=n, max_freq=None)
+    if blacklist is not None:
+        sh_new = sh_new.join(blacklist.select("shingle"), "shingle", "left_anti")
+        sh_idx = sh_idx.join(blacklist.select("shingle"), "shingle", "left_anti")
+    sh_new = sh_new.persist()
+    sh_idx = sh_idx.persist()
+    b_new = minhash_banded(sh_new, num_hashes=num_hashes, bands=bands)
+    b_idx = minhash_banded(sh_idx, num_hashes=num_hashes, bands=bands)
+    candidates = (
+        b_idx.alias("a")
+        .join(
+            b_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("index_doc"),
+            F.col("b.doc_id").alias("new_doc"),
+        )
+        .distinct()
+    )
+    fan = sh_idx.withColumnRenamed("doc_id", "index_doc").join(
+        candidates, "index_doc"
+    )
+    inter = (
+        fan.join(
+            sh_new.select(F.col("doc_id").alias("new_doc"), "shingle"),
+            ["new_doc", "shingle"],
+        )
+        .groupBy("index_doc", "new_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    size_idx = sh_idx.groupBy("doc_id").agg(F.count("*").alias("na"))
+    size_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    pairs = (
+        inter.join(size_idx.withColumnRenamed("doc_id", "index_doc"), "index_doc")
+        .join(size_new.withColumnRenamed("doc_id", "new_doc"), "new_doc")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("index_doc", "new_doc", "jaccard")
+    )
+    return (pairs, sh_new, sh_idx) if return_cached else pairs
 
 
 _FREE_CKPT_WARNED = False
