@@ -394,6 +394,92 @@ def main() -> None:
         )
     )
 
+    # 9g. bigram LM: bigrams are slice+zip expressions (no join, no
+    # posexplode self-join); the scoring joins are hint-free equi-joins; the
+    # only nested-loop is the 1-row |V| broadcast (constant shape, same
+    # class as tpch_q11's threshold).
+    from latex_ocr_spark.operators.lm import lm_score
+
+    lm = lm_score(docs_tbl, alpha=0.5)
+    lm_plan = plan_of(lm)
+    lm_cart = grep_evidence(lm_plan, ["CartesianProduct"])
+    # tree lines only ("BroadcastNestedLoopJoin Cross ...") — formatted
+    # explain repeats every node in the details section
+    lm_bnlj = grep_evidence(lm_plan, ["BroadcastNestedLoopJoin Cross"])
+    sections.append(
+        (
+            "Bigram-LM scoring (`lm_score`)",
+            "Bigram extraction is pure expressions (zip_with over slices — "
+            "no join); model/ctx joins carry no broadcast hint (cartesians: "
+            f"{len(lm_cart)} — must be 0; cross nested-loop joins: "
+            f"{len(lm_bnlj)} — must be 1, the 1-row |V| broadcast).",
+            grep_evidence(
+                lm_plan,
+                ["HashAggregate", "Arguments: hashpartitioning", "SortMergeJoin",
+                 "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+            )[:10],
+        )
+    )
+
+    # 9h. semantic dedup: centroid assignment is a constant-K broadcast
+    # nested loop (bounded by the parameter); the dup pair join is an
+    # equi-join on cluster id; never a corpus-scale cartesian.
+    from latex_ocr_spark.operators.similarity import semantic_dedup
+
+    emb_tbl = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sd, sd_cached = semantic_dedup(emb_tbl, n_clusters=8, return_cached=True)
+    sd_plan = plan_of(sd)
+    sd_cart = grep_evidence(sd_plan, ["CartesianProduct"])
+    sd_cluster_part = grep_evidence(sd_plan, ["hashpartitioning\\(cluster"])
+    sections.append(
+        (
+            "Semantic dedup (`semantic_dedup`)",
+            "Assignment = constant-K(=8) broadcast nested loop + per-vec "
+            "argmax window; the near-dup pair join shuffles on cluster id "
+            f"(cartesians: {len(sd_cart)} — must be 0; cluster-key "
+            f"exchanges: {len(sd_cluster_part)} — must be ≥ 1). The argmax "
+            "output feeds 3 branches through one InMemoryTableScan.",
+            grep_evidence(
+                sd_plan,
+                ["BroadcastNestedLoopJoin", "Window", "InMemoryTableScan",
+                 "hashpartitioning\\(cluster", "SortMergeJoin", "BroadcastHashJoin"],
+            )[:10],
+        )
+    )
+    sd_cached.unpersist()
+
+    # 9i. incremental dedup: the index side enters ONLY via its banded
+    # signature table; candidates come from a cross-side (band, bucket)
+    # equi-join; verification is equi-joins on (new_doc, shingle).
+    inc, inc_sh_new, inc_sh_idx = D.incremental_neardup_pairs(
+        docs_tbl.filter("doc_id % 2 = 1"),
+        docs_tbl.filter("doc_id % 2 = 0"),
+        threshold=0.5,
+        return_cached=True,
+    )
+    inc_plan = plan_of(inc)
+    inc_cart = grep_evidence(inc_plan, ["CartesianProduct", "BroadcastNestedLoop"])
+    inc_band_keys = grep_evidence(inc_plan, ["keys \\[2\\]: \\[band"])
+    sections.append(
+        (
+            "Incremental batch-vs-index dedup (`incremental_neardup_pairs`)",
+            "The candidate join is a cross-side EQUI-join keyed on "
+            f"(band, bucket) (key-list matches: {len(inc_band_keys)} — must "
+            "be ≥ 1): broadcast at this sf because the signature side is "
+            "small, shuffle-on-band-key at scale — either way never a "
+            f"nested loop (cartesian/NL matches: {len(inc_cart)} — must be "
+            "0). At production scale the index side is a stored signature "
+            "table — the plan builds index signatures here only because "
+            "this audit derives both sides from parquet.",
+            grep_evidence(
+                inc_plan,
+                ["keys \\[2\\]: \\[band", "SortMergeJoin", "BroadcastHashJoin Inner",
+                 "HashAggregate"],
+            )[:10],
+        )
+    )
+    inc_sh_new.unpersist(), inc_sh_idx.unpersist()
+
     # 10. MEASURED decode-shuffle volume (not just plan shape): run the
     # flagship extraction under a job group and read per-stage shuffle
     # read/write bytes from the status REST API. The (bucket, salt)
