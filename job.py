@@ -19,9 +19,10 @@ Stages (--stage): ``extract`` (default, per-partition resumable), then the
 corpus-wide downstream stages ``curate`` (language/quality gates + exact
 fingerprint dedup → <out>/curated), ``dedup`` (MinHash-LSH near-dup
 dedup_apply → <out>/deduped), ``budget`` (token counts → <out>/budgeted),
-``mix`` (repetition gate + optional benchmark decontamination + optional
-per-language token-budget sampling → <out>/mixed; see --benchmark /
---budgets / --max-rep-ratio); ``all`` chains extract → curate → dedup →
+``mix`` (repetition gate + optional LM fluency gate + optional benchmark
+decontamination + optional per-language token-budget sampling →
+<out>/mixed; see --benchmark / --budgets / --max-rep-ratio /
+--lm-top-frac); ``all`` chains extract → curate → dedup →
 budget → mix through one output dir with per-stage resume — a run killed
 between stages restarts where it stopped (each stage reads the previous
 stage's materialized parquet, writes idempotently, then appends its lineage
@@ -89,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-rep-ratio", type=float, default=0.3,
                     help="mix stage: drop docs whose bigram repetition "
                          "ratio exceeds this (Gopher-style gate)")
+    ap.add_argument("--lm-top-frac", type=float, default=None,
+                    help="mix stage: keep this fraction of docs by bigram-"
+                         "LM cross-entropy (CCNet-style fluency gate, "
+                         "corpus-derived percentile threshold); unset "
+                         "skips the LM gate")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the checkpoint table and reprocess everything")
     ap.add_argument("--local", action="store_true",
@@ -147,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
                 stages, resume = (args.stage,), False
                 extracted = args.input
             mix_opts = {"max_rep_ratio": args.max_rep_ratio}
+            if args.lm_top_frac is not None:
+                mix_opts["lm_top_frac"] = args.lm_top_frac
             if args.benchmark:
                 mix_opts["benchmark_dir"] = args.benchmark
             if args.budgets:

@@ -357,16 +357,21 @@ def run_mix_stage(
     benchmark_dir: str | None = None,
     budgets: dict[str, int] | None = None,
     max_rep_ratio: float = 0.3,
+    lm_top_frac: float | None = None,
 ) -> dict:
     """Stage 5: training-mix finalization over the budgeted corpus →
-    ``out_dir/mixed``. Three gates, cheapest first:
+    ``out_dir/mixed``. Four gates, cheapest first:
 
     1. Gopher-style repetition gate (``repetition_ratio`` ≤ max_rep_ratio)
        — pure per-row expressions, prunes rows before anything shuffles;
-    2. benchmark decontamination when ``benchmark_dir`` is configured —
+    2. CCNet-style LM fluency gate when ``lm_top_frac`` is configured —
+       train the bigram LM on the repetition-gated corpus and keep the
+       top fraction by cross-entropy (corpus-derived exact percentile
+       threshold; docs with < 2 tokens drop — no LM evidence);
+    3. benchmark decontamination when ``benchmark_dir`` is configured —
        docs sharing any 5-gram shingle with the eval set are anti-joined
        away (both the hit count and the anti-join key on doc_id);
-    3. deterministic token-budget sampling per language stratum when
+    4. deterministic token-budget sampling per language stratum when
        ``budgets`` (lang → word budget) is configured — languages absent
        from the budget map sample at rate 0, i.e. budgets define the mix
        EXHAUSTIVELY (the standard mixing contract: unlisted strata are
@@ -385,6 +390,12 @@ def run_mix_stage(
         .filter(F.col("rep_ratio") <= max_rep_ratio)
         .select("doc_id", "text")
     )
+    cleanup = []
+    if lm_top_frac is not None:
+        from .lm import lm_fluency_gate
+
+        mixed, lm_scores = lm_fluency_gate(mixed, top_frac=lm_top_frac)
+        cleanup.append(lm_scores)
     if benchmark_dir:
         bench = spark.read.parquet(benchmark_dir).select("doc_id", "text")
         contaminated = (
@@ -397,10 +408,14 @@ def run_mix_stage(
         mixed = TA.sample_to_budget(mixed, budgets, keep_text=True).select(
             "doc_id", "text", "lang", "n_words", "rate"
         )
-        return _materialize_stage(
+        row = _materialize_stage(
             spark, out_dir, "mix", mixed, n_tokens_col="n_words"
         )
-    return _materialize_stage(spark, out_dir, "mix", mixed)
+    else:
+        row = _materialize_stage(spark, out_dir, "mix", mixed)
+    for frame in cleanup:
+        frame.unpersist()
+    return row
 
 
 def run_daily_pipeline(

@@ -121,3 +121,34 @@ def lm_score(
     production callers split train (trusted subset) from score (full)."""
     model, ctx, vocab = train_bigram_lm(corpus, text_col, min_count)
     return lm_cross_entropy(corpus, model, ctx, vocab, alpha, text_col)
+
+
+def lm_fluency_gate(
+    corpus: DataFrame,
+    top_frac: float = 0.9,
+    alpha: float = 0.5,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Keep the ``top_frac`` most-fluent documents (lowest bigram cross-
+    entropy) — the CCNet-style LM filter as a pipeline gate.
+
+    The threshold is DERIVED from the corpus (exact percentile of the score
+    distribution, computed distributed and broadcast back as one row — the
+    same data-driven-threshold shape as curate_by_percentile), never a
+    constant. Docs with < 2 tokens carry no LM evidence and are dropped
+    (they're junk for training regardless). Returns (kept_corpus, scores):
+    scores is persisted because it feeds both the percentile aggregation
+    and the keep filter — the caller unpersists after materializing."""
+    scores = lm_score(
+        corpus, alpha=alpha, min_count=min_count, text_col=text_col
+    ).select("doc_id", "cross_entropy").persist()
+    thresh = scores.agg(
+        F.expr(f"percentile(cross_entropy, {float(top_frac)})").alias("ce_max")
+    )
+    keep = (
+        scores.crossJoin(F.broadcast(thresh))
+        .filter(F.col("cross_entropy") <= F.col("ce_max"))
+        .select("doc_id")
+    )
+    return corpus.join(keep, "doc_id"), scores

@@ -98,6 +98,22 @@ def test_lm_min_count_prunes_model_but_not_normalization(spark):
     assert vocab.collect()[0].v == 3
 
 
+def test_lm_fluency_gate_drops_high_ce_tail(spark):
+    from latex_ocr_spark.operators.lm import lm_fluency_gate
+
+    rows = [(i, "the cat sat on the mat again") for i in range(4)]
+    rows.append((10, "zx qy wk jv bn pm"))  # unique bigrams -> high CE
+    rows.append((11, "solo"))  # <2 tokens -> no LM evidence, dropped
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, scores = lm_fluency_gate(df, top_frac=0.75)
+    ids = {r.doc_id for r in kept.collect()}
+    ce = {r.doc_id: r.cross_entropy for r in scores.collect()}
+    scores.unpersist()
+    assert ids == {0, 1, 2, 3}
+    assert ce[10] > ce[0]
+    assert 11 not in ce
+
+
 # ------------------------------------------------------------- PII redaction
 
 PII_TEXTS = [

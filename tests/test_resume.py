@@ -207,6 +207,10 @@ def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
         "benchmark_dir": bench_dir,
         "budgets": {"en": 1_000_000},
         "max_rep_ratio": 0.9,
+        # LM fluency gate ON (top_frac < 1 so it actually prunes) — the
+        # count assertions below compare against the lineage row, not
+        # absolute counts, so they hold under the extra gate
+        "lm_top_frac": 0.9,
     }
 
     with pytest.raises(RuntimeError, match="injected failure after stage curate"):
