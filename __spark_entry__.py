@@ -1207,6 +1207,26 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_embeddings(spark, sf_dir), n_clusters=8, threshold=0.99)
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (no host dominates the mix): deterministic
+    md5-rank top-N per source, computed as a two-phase window — phase 1
+    prunes per (domain, input partition) so a hot domain never lands in
+    one task, phase 2 ranks the bounded remainder; byte-identical to the
+    naive single window — latex_ocr_spark/operators/text_analysis.py."""
+    return TA.domain_cap(_documents(spark, sf_dir), max_per_domain=10)
+
+
+def _q_upsample_mix(spark, sf_dir):
+    """Repeat-factor data mixing (epochs > 1): floor(f) full copies plus a
+    deterministic md5-threshold fractional copy, emitted per (doc_id,
+    epoch) via explode(sequence) — zero shuffles, zero joins; f < 1
+    degrades to sample_to_budget-style downsampling —
+    latex_ocr_spark/operators/text_analysis.py."""
+    return TA.upsample_mix(
+        _documents(spark, sf_dir), {"en": 2.5, "zh": 1.25, "fr": 0.5}
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chop sequence packing: per-shard window cumsum
     assigns every doc its (shard, block, offset) — sharded so no global
@@ -1404,6 +1424,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "pii_redact": _q_pii_redact,
         "semantic_dedup": _q_semantic_dedup,
+        "domain_cap": _q_domain_cap,
+        "upsample_mix": _q_upsample_mix,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
@@ -1629,6 +1651,38 @@ SELECT a.vec_id,
        CAST(a.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+""",
+        "domain_cap": """
+SELECT doc_id, domain, domain_rank FROM (
+  SELECT doc_id, source AS domain,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS domain_rank
+  FROM documents)
+WHERE domain_rank <= 10
+""",
+        "upsample_mix": """
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 1.25
+                        WHEN 'fr' THEN 0.5 ELSE 0.0 END AS DOUBLE) AS fac
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(fac) AS INT)
+         + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                < printf('%08x',
+                         least(CAST(floor((fac - floor(fac)) * 4294967296.0)
+                                    AS BIGINT),
+                               4294967295))
+                THEN 1 ELSE 0 END AS n_copies
+  FROM f
+)
+SELECT doc_id, lang, n_copies,
+       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+FROM c WHERE n_copies > 0
 """,
         "span_explode_counts": _CTE
         + """

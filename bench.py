@@ -123,6 +123,14 @@ def main() -> None:
             dup, D.minhash_lsh_pairs(dup, threshold=0.5)
         ).count(),
     )
+    bench(
+        "incremental_neardup",
+        lambda: D.incremental_neardup_pairs(
+            dup.filter(F.col("doc_id") >= 1000000),
+            dup.filter(F.col("doc_id") < 1000000),
+            threshold=0.5,
+        ).count(),
+    )
     bench("curate_corpus", lambda: TA.curate_corpus(dup).count())
     bench("simhash", lambda: D.simhash_64(dup).count())
     bench("simhash_pairs", lambda: D.simhash_pairs(dup).count())
@@ -140,6 +148,19 @@ def main() -> None:
                     F.lit("</p></article><footer>f</footer></body></html>"),
                 ).alias("html"),
             )
+        ).count(),
+    )
+    from latex_ocr_spark.operators.lm import lm_score
+
+    bench("lm_score", lambda: lm_score(docs_src, alpha=0.5).count())
+    bench(
+        "domain_cap",
+        lambda: TA.domain_cap(docs_src, max_per_domain=10).count(),
+    )
+    bench(
+        "upsample_mix",
+        lambda: TA.upsample_mix(
+            docs_src, {"en": 2.5, "zh": 1.25, "fr": 0.5}
         ).count(),
     )
     bench("quality_score", lambda: TA.quality_score(docs_src).count())

@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
                          "LM cross-entropy (CCNet-style fluency gate, "
                          "corpus-derived percentile threshold); unset "
                          "skips the LM gate")
+    ap.add_argument("--upsample", default=None,
+                    help="mix stage: per-language repeat factors as "
+                         "'en=2.5,zh=1.25' — each stratum replicated f× in "
+                         "expectation at (doc_id, epoch) grain; unset "
+                         "skips upsampling")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the checkpoint table and reprocess everything")
     ap.add_argument("--local", action="store_true",
@@ -161,6 +166,11 @@ def main(argv: list[str] | None = None) -> int:
                 mix_opts["budgets"] = {
                     kv.split("=")[0]: int(kv.split("=")[1])
                     for kv in args.budgets.split(",")
+                }
+            if args.upsample:
+                mix_opts["upsample_factors"] = {
+                    kv.split("=")[0]: float(kv.split("=")[1])
+                    for kv in args.upsample.split(",")
                 }
             results = run_daily_pipeline(
                 spark, extracted, args.output, stages=stages, resume=resume,

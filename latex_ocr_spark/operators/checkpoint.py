@@ -358,6 +358,7 @@ def run_mix_stage(
     budgets: dict[str, int] | None = None,
     max_rep_ratio: float = 0.3,
     lm_top_frac: float | None = None,
+    upsample_factors: dict[str, float] | None = None,
 ) -> dict:
     """Stage 5: training-mix finalization over the budgeted corpus →
     ``out_dir/mixed``. Four gates, cheapest first:
@@ -375,11 +376,16 @@ def run_mix_stage(
        ``budgets`` (lang → word budget) is configured — languages absent
        from the budget map sample at rate 0, i.e. budgets define the mix
        EXHAUSTIVELY (the standard mixing contract: unlisted strata are
-       excluded, not passed through).
+       excluded, not passed through);
+    5. repeat-factor upsampling when ``upsample_factors`` (lang → epochs)
+       is configured — each stratum replicated f× in expectation at
+       (doc_id, epoch) grain (floor(f) full copies + a deterministic
+       fractional copy), so under-represented languages can be weighted
+       ABOVE 1.0 where budgets can only trim down.
 
     Unset knobs skip their gate, so the stage degrades gracefully from the
     full mix to a repetition-only pass. The n_words lineage metric rides
-    the sampled output when budgets apply."""
+    the sampled output when budgets or upsample factors apply."""
     from . import text_analysis as TA
 
     corpus = spark.read.parquet(os.path.join(out_dir, "budgeted")).select(
@@ -408,6 +414,18 @@ def run_mix_stage(
         mixed = TA.sample_to_budget(mixed, budgets, keep_text=True).select(
             "doc_id", "text", "lang", "n_words", "rate"
         )
+    if upsample_factors:
+        if "lang" not in mixed.columns:
+            mixed = mixed.withColumn(
+                "lang", TA._lang_pred_expr(F.col("text"))
+            )
+        mixed = TA.upsample_mix(
+            mixed, upsample_factors, keep_text=True
+        ).withColumn(
+            "n_words",
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+        )
+    if budgets or upsample_factors:
         row = _materialize_stage(
             spark, out_dir, "mix", mixed, n_tokens_col="n_words"
         )

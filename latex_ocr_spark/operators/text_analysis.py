@@ -828,3 +828,110 @@ def pii_redact(corpus: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, token)
     return corpus.select("doc_id", red.alias("text_redacted"), *counts)
+
+
+def domain_cap(
+    corpus: DataFrame,
+    max_per_domain: int = 10,
+    domain_col: str = "source",
+    keep_text: bool = False,
+) -> DataFrame:
+    """Per-domain document cap (Common-Crawl-style curation: no single host
+    may dominate the training mix). Keeps the ``max_per_domain`` docs with
+    the smallest md5(doc_id) rank per domain — a deterministic uniform
+    sample, not recency- or size-biased.
+
+    Exact top-N per key is the textbook window-skew cliff: a hot domain
+    (at web scale one host can hold 10^8 pages) lands every row in ONE
+    row_number task. This implementation is two-phase: phase 1 ranks
+    within (domain, physical input partition) and keeps ≤ N per cell —
+    that exchange partitions on (domain, pid), so a hot domain spreads
+    over as many tasks as it has input splits and at most
+    N × num_input_partitions rows per domain survive; phase 2 ranks the
+    pruned remainder per domain alone, now bounded regardless of the
+    domain's true size. Phase 1 can never evict a global top-N row (each
+    row's cell-rank ≤ its domain-rank), so the result is byte-identical
+    to the single-window plan and independent of physical partitioning.
+    """
+    rk = F.md5(F.col("doc_id").cast("string"))
+    base = corpus.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        F.col(domain_col).alias("domain"),
+        rk.alias("_rk"),
+    ).withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("domain", "_pid").orderBy("_rk", "doc_id")
+    pruned = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_per_domain)
+        .drop("_pid", "_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy("_rk", "doc_id")
+    return (
+        pruned.withColumn("domain_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("domain_rank") <= max_per_domain)
+        .drop("_rk")
+    )
+
+
+def upsample_mix(
+    corpus: DataFrame,
+    factors: dict[str, float],
+    lang_col: str = "lang",
+    keep_text: bool = False,
+) -> DataFrame:
+    """Repeat-factor data mixing (Llama/Pile-style epoch weighting): each
+    language stratum is replicated ``factors[lang]`` times in expectation.
+    floor(f) full copies always emit; the fractional remainder is one extra
+    copy iff the first 8 hex chars of md5(doc_id) sort below the
+    lpad-hex threshold frac(f)·16^8 — the same deterministic keep test as
+    sample_to_budget, so f < 1 degrades to plain downsampling and the two
+    operators compose into one mixing algebra. Strata absent from
+    ``factors`` emit zero copies (budgets define the mix exhaustively).
+
+    Output grain is (doc_id, epoch): epoch ∈ [1, n_copies] numbers the
+    replicas so a downstream packer can salt sequence sharding per copy.
+    Per-row arithmetic + explode over a ≤ ceil(f)-element sequence — ZERO
+    shuffles, no joins; the factor map is a literal, never a broadcast
+    table. Output volume is Σ f_i · |stratum_i| by construction, the
+    number the mix config promised.
+    """
+    f_expr = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in factors.items() for x in kv])[
+            F.col(lang_col)
+        ].cast("double"),
+        F.lit(0.0),
+    )
+    frac = f_expr - F.floor(f_expr)
+    threshold = F.lpad(
+        F.lower(F.hex(
+            F.least(
+                F.floor(frac * F.lit(4294967296.0)).cast("bigint"),
+                F.lit(4294967295),
+            )
+        )),
+        8, "0",
+    )
+    n_copies = (
+        F.floor(f_expr).cast("int")
+        + F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < threshold,
+            1,
+        ).otherwise(0)
+    )
+    base = corpus.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        F.col(lang_col).alias("lang"),
+        n_copies.alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    return base.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        "lang",
+        "n_copies",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_copies"))
+        ).alias("epoch"),
+    )

@@ -140,3 +140,90 @@ def test_quality_weighted_sample_rates_and_determinism(spark):
     # rerun is byte-identical
     again = {r.doc_id for r in TA.quality_weighted_sample(docs).collect()}
     assert again == set(out)
+
+
+@pytest.fixture(scope="module")
+def web_docs(spark):
+    """60 docs over 3 domains (one hot: 40 docs) with a lang column."""
+    rows = [
+        (i,
+         f"document body number {i} with some words",
+         ["en", "zh", "fr", "es"][i % 4],
+         "hot.example" if i < 40 else ("a.example" if i < 50 else "b.example"))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_domain_cap_exact_and_partition_invariant(spark, web_docs):
+    """The two-phase (domain, pid) pre-prune must be byte-identical to the
+    naive single-window top-N, at every physical partitioning."""
+    from pyspark.sql import Window, functions as F
+
+    rk = F.md5(F.col("doc_id").cast("string"))
+    naive = {
+        (r.doc_id, r.domain, r.domain_rank)
+        for r in web_docs.select(
+            "doc_id", F.col("source").alias("domain"), rk.alias("rk")
+        )
+        .withColumn(
+            "domain_rank",
+            F.row_number()
+            .over(Window.partitionBy("domain").orderBy("rk", "doc_id"))
+            .cast("int"),
+        )
+        .filter("domain_rank <= 7")
+        .drop("rk")
+        .collect()
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            (r.doc_id, r.domain, r.domain_rank)
+            for r in TA.domain_cap(
+                web_docs.repartition(n_parts), max_per_domain=7
+            ).collect()
+        }
+        assert got == naive
+    # the cap holds: hot domain trimmed 40 -> 7, small domain b kept whole
+    per_dom = {}
+    for _, dom, _ in naive:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    assert per_dom == {"hot.example": 7, "a.example": 7, "b.example": 7}
+
+
+def test_domain_cap_keeps_small_domains_whole(spark, web_docs):
+    got = TA.domain_cap(web_docs, max_per_domain=25).groupBy("domain").count()
+    assert {r.domain: r["count"] for r in got.collect()} == {
+        "hot.example": 25, "a.example": 10, "b.example": 10}
+
+
+def test_upsample_mix_copy_counts_and_determinism(spark, web_docs):
+    """floor(f) copies always emit; the fractional extra follows the md5
+    threshold exactly; absent strata emit nothing; epochs number 1..n."""
+    import hashlib
+
+    factors = {"en": 2.5, "zh": 1.0, "fr": 0.25}
+    out = TA.upsample_mix(web_docs, factors).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    langs = {r.doc_id: r.lang for r in web_docs.select("doc_id", "lang").collect()}
+    for doc_id, lang in langs.items():
+        f = factors.get(lang, 0.0)
+        frac = f - int(f)
+        thr = format(min(int(frac * 4294967296.0), 4294967295), "08x")
+        expect = int(f) + (
+            1 if hashlib.md5(str(doc_id).encode()).hexdigest()[:8] < thr else 0
+        )
+        got = sorted(by_doc.get(doc_id, []))
+        assert got == list(range(1, expect + 1)), (doc_id, lang, f)
+    # es absent from factors -> zero copies
+    assert all(langs[d] != "es" for d in by_doc)
+    # deterministic under repartition
+    again = {
+        (r.doc_id, r.epoch)
+        for r in TA.upsample_mix(web_docs.repartition(11), factors).collect()
+    }
+    assert again == {(r.doc_id, r.epoch) for r in out}

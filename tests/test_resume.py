@@ -211,6 +211,9 @@ def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
         # count assertions below compare against the lineage row, not
         # absolute counts, so they hold under the extra gate
         "lm_top_frac": 0.9,
+        # integer factor → every surviving doc gets exactly 2 epochs, so
+        # the per-doc assertions below stay deterministic
+        "upsample_factors": {"en": 2.0},
     }
 
     with pytest.raises(RuntimeError, match="injected failure after stage curate"):
@@ -232,8 +235,12 @@ def test_daily_pipeline_kill_between_stages_resumes(spark, tmp_path_factory):
     budgeted = spark.read.parquet(f"{out}/budgeted")
     assert budgeted.count() == results["budget"]["n_docs"] > 0
     mixed = spark.read.parquet(f"{out}/mixed")
-    assert set(mixed.columns) == {"doc_id", "text", "lang", "n_words", "rate"}
+    assert set(mixed.columns) == {
+        "doc_id", "text", "lang", "n_copies", "epoch", "n_words"}
     assert mixed.count() == results["mix"]["n_docs"] > 0
+    # upsampling held: factor 2.0 → every doc exactly twice, epochs {1, 2}
+    assert mixed.count() == 2 * mixed.select("doc_id").distinct().count()
+    assert {r.epoch for r in mixed.select("epoch").distinct().collect()} == {1, 2}
     # decontamination held: no surviving doc shares a 5-gram with the bench
     # slice (the planted slice IS in the corpus, so its docs must be gone)
     assert mixed.filter(F.col("doc_id") % 7 == 3).count() == 0

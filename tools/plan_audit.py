@@ -480,6 +480,55 @@ def main() -> None:
     )
     inc_sh_new.unpersist(), inc_sh_idx.unpersist()
 
+    from latex_ocr_spark.operators import text_analysis as TA
+
+    # 9j. domain cap: exact per-domain top-N without the window-skew cliff —
+    # phase 1's exchange must key on (domain, _pid) so a hot domain spreads
+    # over its input splits; phase 2's exchange keys on domain alone but
+    # sees at most N×P rows per domain.
+    dcap = TA.domain_cap(docs_tbl, max_per_domain=10)
+    dcap_plan = plan_of(dcap)
+    dcap_pair = grep_evidence(dcap_plan, ["hashpartitioning\\(domain[^)]*_pid"])
+    dcap_single = [
+        l for l in grep_evidence(dcap_plan, ["hashpartitioning\\(domain"])
+        if "_pid" not in l
+    ]
+    sections.append(
+        (
+            "Per-domain cap (`domain_cap`)",
+            "Two-phase exact top-N: the FIRST exchange keys on "
+            f"(domain, _pid) (matches: {len(dcap_pair)} — must be ≥ 1) so a "
+            "hot domain is pre-pruned across its input splits before the "
+            f"per-domain exchange (matches: {len(dcap_single)} — must be "
+            "≥ 1) ranks a remainder bounded by N×num_partitions. "
+            "tests/test_curation_ops.py pins byte-identity to the naive "
+            "single-window plan at every physical partitioning.",
+            grep_evidence(
+                dcap_plan,
+                ["hashpartitioning\\(domain", "Window", "Filter.*domain_rank",
+                 "Filter.*_r1"],
+            )[:10],
+        )
+    )
+
+    # 9k. upsample mix: per-row explode only — the plan must contain no
+    # exchange and no join of any kind.
+    ups = TA.upsample_mix(docs_tbl, {"en": 2.5, "zh": 1.25, "fr": 0.5})
+    ups_plan = plan_of(ups)
+    ups_ex = grep_evidence(ups_plan, ["Exchange", "Join", "CartesianProduct"])
+    sections.append(
+        (
+            "Repeat-factor mixing (`upsample_mix`)",
+            "Scan → project → filter → Generate explode(sequence) — "
+            f"exchanges/joins in plan: {len(ups_ex)} — must be 0; the "
+            "factor map is a literal expression, so replication adds zero "
+            "shuffle at any scale.",
+            grep_evidence(
+                ups_plan, ["Generate", "Scan parquet", "Filter", "Project"]
+            )[:8],
+        )
+    )
+
     # 10. MEASURED decode-shuffle volume (not just plan shape): run the
     # flagship extraction under a job group and read per-stage shuffle
     # read/write bytes from the status REST API. The (bucket, salt)
