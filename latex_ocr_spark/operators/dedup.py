@@ -212,42 +212,77 @@ def minhash_banded(
     days/jobs stay join-compatible, which is what makes a persisted
     signature index possible at all). Not persisted here: the self-join
     caller persists (both sides read it); the incremental caller reads each
-    side once and a persist would only waste executor memory."""
+    side once and a persist would only waste executor memory.
+
+    The 128 permutation-free min-hashes h_i(x) = (a_i·x + b_i) mod p
+    (p = 2^31−1, x = pmod(xxhash64(shingle), p)) are computed VECTORIZED in
+    numpy behind one hash exchange on doc_id: the JVM computes the shingle
+    key x (so the heavy shingle string never reaches Python), the narrow
+    (doc_id, x) rows shuffle once, and a mapInPandas does one
+    (rows × 128) broadcast-multiply-mod + segment-min per Arrow batch with
+    cross-batch minima folding (a doc's rows may span batches of its
+    partition). A 128-column JVM min-aggregate computes the same thing but
+    its generated update method is too large for wholestage codegen/JIT —
+    measured 1.9× slower at equal shuffle volume (the old agg's map-side
+    partial combine shuffled (doc × 128 longs); this shuffles the
+    (doc_id, x) rows — ~same bytes at ~64 shingles/doc). Bucket =
+    xxhash64(h0, h1) is computed back in the JVM so banding stays
+    join-compatible with any previously persisted signature index; output
+    rows are bit-identical to the aggregate formulation (int64 arithmetic
+    is exact in both, asserted in tests/test_incremental_dedup.py).
+    Python memory is bounded: O(batch × 128) for the hash matrix plus the
+    per-partition minima map — the same per-partition state the JVM
+    aggregate held."""
     rows_per_band = num_hashes // bands
     p = 2147483647  # 2^31 - 1
     rng = np.random.default_rng(0x31A5_2026)
-    rng_a = (1 + rng.integers(0, p - 1, num_hashes)).tolist()
-    rng_b = rng.integers(0, p, num_hashes).tolist()
+    A = (1 + rng.integers(0, p - 1, num_hashes)).astype(np.int64)
+    B = rng.integers(0, p, num_hashes).astype(np.int64)
+    n_bands = bands
 
     keyed = sh.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).cast("long").alias("x")
     )
-    minhash_cols = [
-        F.min(
-            F.pmod(F.lit(int(rng_a[i])) * F.col("x") + F.lit(int(rng_b[i])), F.lit(p))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = keyed.groupBy("doc_id").agg(*minhash_cols)
-    # one projection + explode (NOT a 64-way union — keeps the plan linear).
-    # Bucket key is xxhash64 (a long, internal-only — the oracle never sees
-    # banding), not an md5 string: longs sort/shuffle ~4× cheaper.
-    band_structs = []
-    for bnd in range(bands):
-        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
+
+    def sig(batches):
+        import pandas as pd
+
+        acc: dict = {}  # doc_id -> (num_hashes,) int64 minima
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf["x"].to_numpy(dtype=np.int64)
+            h = (x[:, None] * A[None, :] + B[None, :]) % p
+            df = pd.DataFrame(h)
+            df.insert(0, "_d", pdf["doc_id"].to_numpy())
+            gm = df.groupby("_d", sort=False).min()
+            for d, row in zip(gm.index.to_numpy(), gm.to_numpy()):
+                prev = acc.get(d)
+                acc[d] = row if prev is None else np.minimum(prev, row)
+        if acc:
+            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            m = np.stack(list(acc.values()))  # (ndocs, num_hashes)
+            # band b's rows are hashes [b·rpb, (b+1)·rpb) — rpb = 2 here
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(docs, n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(docs)
+                    ),
+                    "h0": m[:, 0::rows_per_band].reshape(-1),
+                    "h1": m[:, 1::rows_per_band].reshape(-1),
+                }
             )
-        )
-    return (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
+
+    assert rows_per_band == 2, "banding layout assumes 2 rows per band"
+    per_band = keyed.repartition("doc_id").mapInPandas(
+        sig, schema="doc_id long, band int, h0 long, h1 long"
+    )
+    # bucket key is xxhash64 (a long, internal-only — the oracle never sees
+    # banding), computed JVM-side so signatures stay join-compatible with
+    # any stored index regardless of which formulation produced it
+    return per_band.select(
+        "doc_id", "band", F.xxhash64("h0", "h1").alias("bucket")
     )
 
 
@@ -499,6 +534,14 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     while True:
+        # one materialization per round: propagate + pointer-halve + attach
+        # the previous label, checkpoint the wide (doc_id, label, old) frame,
+        # then read the changed-count off the materialized RDD — a narrow
+        # scan, not the shuffle join the old 3-job round paid. ``stepped``
+        # is deliberately NOT checkpointed: its two references share one
+        # subtree whose exchange the planner reuses (ReusedExchange), so
+        # folding it into the round's single job drops a whole
+        # materialize+job cycle per round with no recompute.
         stepped = (
             edges.join(
                 labels.select(
@@ -509,7 +552,6 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
             .groupBy("a")
             .agg(F.min("nl").alias("label"))
             .select(F.col("a").alias("doc_id"), "label")
-            .localCheckpoint()
         )
         # pointer halving: label ← label(label) (min-monotone, only lowers)
         new_labels = (
@@ -520,22 +562,20 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
                 "label",
                 "left",
             )
-            .select("doc_id", F.coalesce("l2", "label").alias("label"))
-            .localCheckpoint()
-        )
-        # new_labels is materialized (eager checkpoint): stepped's blocks
-        # are dead weight from here on
-        _free_local_checkpoint(stepped)
-        changed = (
-            new_labels.join(
+            .join(
                 labels.select("doc_id", F.col("label").alias("old")), "doc_id"
             )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+            .select(
+                "doc_id", F.coalesce("l2", "label").alias("label"), "old"
+            )
+            .localCheckpoint()
         )
-        # the changed-count was the last reader of the previous round's
-        # labels — free them so storage stays O(1) across rounds instead of
-        # growing by two checkpoints per round
+        changed = (
+            new_labels.filter(F.col("label") != F.col("old")).count()
+        )
+        # new_labels is materialized and carries everything the next round
+        # needs — free the previous round's checkpoint so storage stays
+        # O(1) across rounds
         _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:

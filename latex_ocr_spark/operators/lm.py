@@ -136,19 +136,29 @@ def lm_fluency_gate(
     The threshold is DERIVED from the corpus (exact percentile of the score
     distribution, computed distributed and broadcast back as one row — the
     same data-driven-threshold shape as curate_by_percentile), never a
-    constant. Docs with < 2 tokens carry no LM evidence and are dropped
-    (they're junk for training regardless). Returns (kept_corpus, scores):
-    scores is persisted because it feeds both the percentile aggregation
-    and the keep filter — the caller unpersists after materializing."""
+    constant. The percentile is taken over the score ROUNDED to 4dp and the
+    gate compares the same rounded score: cross_entropy is continuous (one
+    distinct value per document), and Spark's exact ``percentile`` buffers
+    O(distinct values) per aggregation — unbounded at corpus scale. The
+    repo's own cardinality rule (quality_percentiles' scale note) says
+    exact percentile is safe only for bounded-cardinality signals;
+    pre-rounding bounds the buffer at ~10^5 entries for any corpus size
+    while moving the threshold by < 1e-4 nats. Docs with < 2 tokens carry
+    no LM evidence and are dropped (they're junk for training regardless).
+    Returns (kept_corpus, scores): scores is persisted because it feeds
+    both the percentile aggregation and the keep filter — the caller
+    unpersists after materializing."""
     scores = lm_score(
         corpus, alpha=alpha, min_count=min_count, text_col=text_col
     ).select("doc_id", "cross_entropy").persist()
     thresh = scores.agg(
-        F.expr(f"percentile(cross_entropy, {float(top_frac)})").alias("ce_max")
+        F.expr(
+            f"percentile(round(cross_entropy, 4), {float(top_frac)})"
+        ).alias("ce_max")
     )
     keep = (
         scores.crossJoin(F.broadcast(thresh))
-        .filter(F.col("cross_entropy") <= F.col("ce_max"))
+        .filter(F.round(F.col("cross_entropy"), 4) <= F.col("ce_max"))
         .select("doc_id")
     )
     return corpus.join(keep, "doc_id"), scores

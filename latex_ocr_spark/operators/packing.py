@@ -27,7 +27,7 @@ def _shard_expr(col, n_shards: int):
 
 
 def pack_sequences(
-    corpus: DataFrame, seq_len: int = 256, n_shards: int = 16
+    corpus: DataFrame, seq_len: int = 256, n_shards: int | None = None
 ) -> DataFrame:
     """GPT-style concat-and-chop sequence packing: documents are laid
     end-to-end and chopped into fixed ``seq_len``-token blocks; each doc is
@@ -37,15 +37,21 @@ def pack_sequences(
     Scale design: a single global concatenation order would be one total
     sort — the serial trap at 100 TB. Instead each doc hashes into one of
     ``n_shards`` deterministic shards and packing runs per shard (window
-    cumsum ordered by doc_id within shard). Parallelism = n_shards (set it
-    to O(executors × k) on a cluster); packing waste is unchanged by
-    sharding because blocks are chopped, not bin-packed, and the layout
-    stays fully deterministic — every run and every engine agrees on
-    (shard, seq_id, offset) per doc.
+    cumsum ordered by doc_id within shard). Parallelism = n_shards; the
+    default derives from the cluster (max(defaultParallelism, 16), the
+    decode-partition heuristic's pattern) so a bigger cluster gets more
+    shards without retuning — note the shard count is part of the LAYOUT:
+    reruns that must reproduce a prior run's (shard, seq_id, offset) must
+    pin n_shards explicitly (the gate query pins 16). Packing waste is
+    unchanged by sharding because blocks are chopped, not bin-packed, and
+    the layout stays fully deterministic — every run and every engine
+    agrees on (shard, seq_id, offset) per doc.
 
     Returns (doc_id, shard, seq_id, offset, n_words): seq_id is the
     in-shard block index, offset the doc's first-word position in it.
     """
+    if n_shards is None:
+        n_shards = max(corpus.sparkSession.sparkContext.defaultParallelism, 16)
     words = F.split(F.col("text"), " ")
     base = corpus.select(
         "doc_id",
@@ -77,9 +83,15 @@ def chunk_dedup(corpus: DataFrame, chunk_words: int = 20) -> DataFrame:
     unique remainder of each page survives — per-doc dedup (fingerprint /
     MinHash) can only keep or drop whole documents.
 
-    Scale: chunking is a per-row explode (map-side); the only shuffles are
-    the keeper window on the chunk hash and the per-doc reassembly — both
-    key-partitioned aggregations with no self-join. Emits every input doc:
+    Scale: chunking is a per-row explode (map-side); the keeper is computed
+    TWO-PHASE — ``groupBy(md5(chunk)).agg(min(struct(doc_id, idx)))`` gets
+    map-side partial combine, so a web-scale boilerplate chunk reduces to
+    one row per map task BEFORE the exchange, then an equi-join marks each
+    occurrence (AQE can skew-split a join, unlike a window). The old
+    ``Window.partitionBy(chunk)`` keeper put a hot chunk's entire occurrence
+    set in ONE window task with no WindowGroupLimit pushdown (every row
+    survives to reassembly). Keying the shuffle on md5(chunk) (~32 B) also
+    beats shuffling raw chunk text. Emits every input doc:
     (doc_id, text [surviving chunks joined], n_chunks, n_kept); a fully
     duplicated doc survives as an empty string with n_kept = 0.
     """
@@ -94,11 +106,21 @@ def chunk_dedup(corpus: DataFrame, chunk_words: int = 20) -> DataFrame:
     exploded = corpus.select(
         "doc_id", F.posexplode_outer(chunks).alias("idx", "chunk")
     )
-    keep_w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-    flagged = exploded.withColumn(
+    # phase 1: first occurrence per chunk content (hash agg, partial combine)
+    keepers = (
+        exploded.filter(F.col("chunk").isNotNull())
+        .groupBy(F.md5(F.col("chunk")).alias("chunk_md5"))
+        .agg(F.min(F.struct("doc_id", "idx")).alias("first_occ"))
+    )
+    # phase 2: mark occurrences — same keeper as the old
+    # row_number-over-(doc_id, idx) window (min over struct<doc_id, idx> is
+    # the identical lexicographic order), modulo md5 collisions
+    flagged = exploded.join(
+        keepers, F.md5(F.col("chunk")) == F.col("chunk_md5"), "left"
+    ).withColumn(
         "kept",
         F.col("chunk").isNotNull()
-        & (F.row_number().over(keep_w) == 1),
+        & (F.struct("doc_id", "idx") == F.col("first_occ")),
     )
     return (
         flagged.groupBy("doc_id")

@@ -51,20 +51,37 @@ def with_cosine(pairs: DataFrame, a: str = "qv", b: str = "nv") -> DataFrame:
     )
 
 
+def _cosine_prenormed(pairs: DataFrame, a: str, b: str, an: str, bn: str):
+    """Cosine when each side's norm was precomputed BEFORE the join: the
+    per-pair work drops from three array reductions to one (the dot).
+    ``an``/``bn`` must be exactly ``_norm(side_vec)`` so round(dot/(an*bn), 4)
+    multiplies the identical doubles the inline formula would — bit-identical
+    output, evaluated O(rows) instead of O(pairs) times."""
+    return pairs.withColumn(
+        "sim",
+        F.round(_dot(F.col(a), F.col(b)) / (F.col(an) * F.col(bn)), 4),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, k: int = 5, n_queries: int = 50
 ) -> DataFrame:
     """Exact top-k cosine neighbors for vec_id < n_queries (excluding self)."""
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        _norm(F.col("embedding")).alias("nn"),
     )
-    scored = with_cosine(
+    scored = _cosine_prenormed(
         F.broadcast(queries).crossJoin(corpus).filter(
             F.col("query_id") != F.col("neighbor_id")
-        )
+        ),
+        "qv", "nv", "qn", "nn",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -232,9 +249,19 @@ def embedding_neardup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qv"))
-    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("nv"))
-    scored = with_cosine(cands.join(va, "vec_a").join(vb, "vec_b"))
+    va = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("nv"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    scored = _cosine_prenormed(
+        cands.join(va, "vec_a").join(vb, "vec_b"), "qv", "nv", "qn", "nn"
+    )
     return scored.filter(F.col("sim") >= threshold).select("vec_a", "vec_b", "sim")
 
 
@@ -322,6 +349,7 @@ def ivf_cosine_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
             F.posexplode("dots").alias("cid", "cdot"),
         )
     )
@@ -329,14 +357,19 @@ def ivf_cosine_topk(
     probes = (
         qdots.withColumn("prank", F.row_number().over(wp))
         .filter(F.col("prank") <= n_probe)
-        .select("query_id", "qv", F.col("cid").cast("int").alias("cid"))
+        .select("query_id", "qv", "qn", F.col("cid").cast("int").alias("cid"))
     )
     # --- candidate gen: equi-join on cell id, then exact re-rank -------------
     cands = probes.join(
-        assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "cid"),
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            _norm(F.col("embedding")).alias("nn"),
+            "cid",
+        ),
         "cid",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = with_cosine(cands)
+    scored = _cosine_prenormed(cands, "qv", "nv", "qn", "nn")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -399,11 +432,22 @@ def lsh_cosine_topk(
     cands = srp_topk_candidates(
         embeddings, n_queries, dim, n_planes, n_tables, probe_bits
     )
-    qv = base.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    nv = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    # query side pruned to the actual query set before the broadcast (the
+    # unpruned frame shipped the whole corpus's vectors for a 50-key join)
+    qv = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    scored = with_cosine(cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id"))
+    nv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    scored = _cosine_prenormed(
+        cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id"),
+        "qv", "nv", "qn", "nn",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -441,32 +485,44 @@ def semantic_dedup(
     recompute the argmax per branch otherwise); pass return_cached=True to
     receive it for explicit unpersist (band_candidates' cleanup pattern).
     """
-    base = emb_with_dups(embeddings)
+    base = emb_with_dups(embeddings).withColumn(
+        # norm once per vector, BEFORE the K-way centroid fan-out and the
+        # intra-cluster pair join (identical doubles to the inline formula,
+        # evaluated O(rows) instead of O(rows·K + pairs) times)
+        "en", _norm(F.col("embedding"))
+    )
     cents = (
         base.orderBy("vec_id")
         .limit(n_clusters)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            F.col("en").alias("cn"),
+        )
     )
-    csim = _dot(F.col("embedding"), F.col("cvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cvec"))
-    )
+    csim = _dot(F.col("embedding"), F.col("cvec")) / (F.col("en") * F.col("cn"))
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("csim", csim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), "embedding")
+        .select("vec_id", F.col("cid").alias("cluster"), "embedding", "en")
         .persist()
     )
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), "cluster", F.col("embedding").alias("qv")
+        F.col("vec_id").alias("vec_a"), "cluster",
+        F.col("embedding").alias("qv"), F.col("en").alias("qn"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), "cluster", F.col("embedding").alias("nv")
+        F.col("vec_id").alias("vec_b"), "cluster",
+        F.col("embedding").alias("nv"), F.col("en").alias("nn"),
     )
     dups = (
-        with_cosine(a.join(b, ["cluster"]).filter(F.col("vec_a") < F.col("vec_b")))
+        _cosine_prenormed(
+            a.join(b, ["cluster"]).filter(F.col("vec_a") < F.col("vec_b")),
+            "qv", "nv", "qn", "nn",
+        )
         .filter(F.col("sim") >= threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

@@ -114,6 +114,31 @@ def test_lm_fluency_gate_drops_high_ce_tail(spark):
     assert 11 not in ce
 
 
+def test_lm_fluency_gate_percentile_is_bounded_cardinality(spark):
+    """The gate's threshold is percentile(round(ce, 4), f) and the keep test
+    compares round(ce, 4) — bounded-cardinality aggregation state at any
+    corpus size (r7 verdict scale-cliff #1). Tie-dense corpus: many docs
+    share one exact score; the boundary doc whose ROUNDED score equals the
+    threshold is kept (<=), docs strictly above are dropped."""
+    from latex_ocr_spark.operators.lm import lm_fluency_gate, lm_score
+
+    # 8 clones (identical CE) + 2 high-CE outliers
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows += [(100, "qz wv xj kp bn md"), (101, "zq vw jx pk nb dm")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, scores = lm_fluency_gate(df, top_frac=0.8)
+    ids = {r.doc_id for r in kept.collect()}
+    ce = {r.doc_id: round(r.cross_entropy, 4) for r in scores.collect()}
+    scores.unpersist()
+    # threshold = percentile of rounded scores at 0.8 over
+    # [c]*8 + [h1, h2]: index 0.8*(10-1) = 7.2 → between c (rank 7) and the
+    # 9th value; with 8 ties at c the interpolated value sits on/above c, so
+    # every clone passes and both outliers (far above) are dropped
+    assert ids == set(range(8))
+    assert all(ce[i] == ce[0] for i in range(8))
+    assert min(ce[100], ce[101]) > ce[0]
+
+
 # ------------------------------------------------------------- PII redaction
 
 PII_TEXTS = [

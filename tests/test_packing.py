@@ -44,6 +44,24 @@ def test_pack_sequences_shard_is_md5_derived(spark):
     assert got == expect
 
 
+def test_pack_sequences_default_shards_derive_from_parallelism(spark):
+    """n_shards=None derives max(defaultParallelism, 16) — the layout knob
+    scales with the cluster instead of a constant (r7 verdict ask #6); an
+    explicit n_shards (as the gate query pins) is untouched."""
+    docs = spark.createDataFrame(
+        [(i, "w x y") for i in range(64)], "doc_id long, text string"
+    )
+    derived = max(spark.sparkContext.defaultParallelism, 16)
+    shards = {r.shard for r in pack_sequences(docs, seq_len=4).collect()}
+    assert shards <= set(range(derived))
+    expect = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % derived
+        for i in range(64)
+    }
+    got = {r.doc_id: r.shard for r in pack_sequences(docs, seq_len=4).collect()}
+    assert got == expect
+
+
 def test_chunk_dedup_cross_doc_within_doc_and_full_dup(spark):
     rows = [
         (1, "a b c d e f"),        # chunks: 'a b c', 'd e f' — both novel
@@ -74,7 +92,39 @@ def test_chunk_dedup_short_and_empty_docs(spark):
     assert got[3] == ("", 1, 0)      # its single chunk is a dup of doc 1
 
 
-def test_stratified_split_matches_python_rule_and_validates(spark):
+def test_chunk_dedup_hot_chunk_two_phase_keeper(spark):
+    """Clone-heavy corpus (one boilerplate chunk in 200 of 220 docs): the
+    two-phase keeper (hash agg on md5(chunk) + join-back) must produce
+    exactly the first-occurrence-wins result the old per-chunk window
+    produced, and the plan must contain NO window node — the hot chunk's
+    occurrence set must never serialize into a single window task (r7
+    verdict scale-cliff #2; a join is AQE-skew-splittable, a window is
+    not)."""
+    hot = "the same boiler plate"  # one 4-word chunk repeated corpus-wide
+    rows = [(i, f"{hot} unique tail {i} x") for i in range(200)]
+    rows += [(1000 + i, f"fresh content {i} y z") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_chunks, r.n_kept)
+        for r in chunk_dedup(docs, chunk_words=4).collect()
+    }
+    # python reference: first (doc_id, idx) occurrence of each chunk wins
+    seen: dict[str, tuple] = {}
+    expect: dict[int, tuple] = {}
+    for doc_id, text in sorted(rows):
+        words = [w for w in text.split(" ") if w]
+        chunks = [
+            " ".join(words[i : i + 4]) for i in range(0, len(words), 4)
+        ]
+        keptc = []
+        for idx, c in enumerate(chunks):
+            if c not in seen:
+                seen[c] = (doc_id, idx)
+                keptc.append(c)
+        expect[doc_id] = (" ".join(keptc), len(chunks), len(keptc))
+    assert got == expect
+    plan = chunk_dedup(docs, chunk_words=4)._jdf.queryExecution().executedPlan().toString()
+    assert ") Window" not in plan and "WindowExec" not in plan
     docs = spark.createDataFrame(
         [(i, "t", "en") for i in range(300)],
         "doc_id long, text string, lang string",

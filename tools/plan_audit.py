@@ -379,18 +379,25 @@ def main() -> None:
         )
     )
 
-    # 9f. chunk-level dedup: keeper window on the chunk hash + per-doc
-    # reassembly — two key exchanges, no self-join, no cartesian.
+    # 9f. chunk-level dedup: TWO-PHASE keeper — hash aggregation on
+    # md5(chunk) (map-side partial combine collapses a hot boilerplate
+    # chunk before the exchange) + equi-join marking occurrences (AQE can
+    # skew-split a join; a window cannot be split) + per-doc reassembly.
+    # No window, no self-join, no cartesian.
     cd = chunk_dedup(docs_tbl, chunk_words=20)
     cd_plan = plan_of(cd)
     cd_cross = grep_evidence(cd_plan, ["CartesianProduct", "BroadcastNestedLoop"])
+    cd_window = grep_evidence(cd_plan, ["\\) Window"])
     sections.append(
         (
             "Chunk-level exact dedup (`chunk_dedup`)",
-            "Explode is map-side; the keeper window (partition by chunk) and "
-            "the per-doc reassembly aggregation are the only shuffles "
-            f"(cartesian matches: {len(cd_cross)} — must be 0).",
-            grep_evidence(cd_plan, ["Exchange", "Window", "HashAggregate"])[:8],
+            "Explode is map-side; the keeper is a two-phase hash agg on "
+            "md5(chunk) + join-back — partial combine bounds hot-chunk rows "
+            "per map task and the join (unlike the old keeper window) is "
+            "AQE-skew-splittable "
+            f"(cartesian matches: {len(cd_cross)} — must be 0; window "
+            f"nodes: {len(cd_window)} — must be 0).",
+            grep_evidence(cd_plan, ["Exchange", "HashAggregate", "Join"])[:8],
         )
     )
 

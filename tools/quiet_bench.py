@@ -19,6 +19,16 @@ Usage:
 With --fallback, if no window certifies before the deadline, the bench runs
 anyway and the JSON carries certified=false plus the best ceiling seen —
 an honest record of the venue instead of silence.
+
+Certification requires BOTH gates (r7 verdict finding #3: the ratio gate
+alone is blind to SYMMETRIC load — a co-tenant loading all cores equally
+slides both probe legs together while the 8->32 ratio still reads ~1.0;
+BENCH_quiet_r7b recorded a false `certified: true` at a 1.013 ceiling with
+5 s probe tasks vs the 0.44-0.62 s nominal):
+  1. relative: the 8->32 pure-CPU ceiling >= --min-ceiling, and
+  2. absolute: every probed per-task time <= --abs-factor x its nominal
+     (BASELINE.md's probe table, the box's unloaded per-task seconds).
+Both gate readings are recorded in the output either way.
 """
 
 from __future__ import annotations
@@ -31,6 +41,31 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Unloaded per-task seconds for the pure-CPU probe kernel at each
+# concurrency (BASELINE.md "Host-normalized scaling": 0.442/0.518/0.516/
+# 0.583/0.620 at 2/4/8/16/32 processes). The absolute gate certifies only
+# when the measured per-task time stays within --abs-factor of these — a
+# symmetric co-tenant load inflates these while leaving the 8->32 ratio
+# untouched, which is exactly the false-certification mode being closed.
+NOMINAL_PER_TASK_S = {"2": 0.442, "4": 0.518, "8": 0.516, "16": 0.583,
+                      "32": 0.620}
+
+
+def abs_gate(per_task_s: dict, factor: float) -> tuple[bool, dict]:
+    """(ok, detail): every probed concurrency's per-task seconds must be
+    <= factor x its nominal; unknown concurrencies are ignored."""
+    detail = {}
+    ok = True
+    for n, t in per_task_s.items():
+        nominal = NOMINAL_PER_TASK_S.get(str(n))
+        if nominal is None:
+            continue
+        limit = round(factor * nominal, 4)
+        detail[str(n)] = {"measured": t, "limit": limit}
+        if t > limit:
+            ok = False
+    return ok, detail
 
 
 def probe() -> dict:
@@ -54,6 +89,9 @@ def run_bench() -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-ceiling", type=float, default=0.9)
+    ap.add_argument("--abs-factor", type=float, default=1.5,
+                    help="absolute gate: probe per-task seconds must stay "
+                         "within this factor of the unloaded nominals")
     ap.add_argument("--wait", type=float, default=300.0)
     ap.add_argument("--deadline-s", type=float, default=3600.0)
     ap.add_argument("--fallback", action="store_true",
@@ -63,19 +101,31 @@ def main() -> int:
 
     t0 = time.time()
     best = None
+
+    def attach(bench: dict, p: dict, certified: bool) -> None:
+        ceiling = p["ceiling_n_to_4n"]["8_to_32"]
+        ok_abs, detail = abs_gate(p["per_task_s"], args.abs_factor)
+        bench["certified"] = certified
+        bench["probe_ceiling_8_to_32"] = ceiling
+        bench["probe_per_task_s"] = p["per_task_s"]
+        bench["probe_ceiling_ok"] = ceiling >= args.min_ceiling
+        bench["probe_abs_ok"] = ok_abs
+        bench["probe_abs_gate"] = detail
+
     while True:
         p = probe()
         ceiling = p["ceiling_n_to_4n"]["8_to_32"]
+        ok_abs, _ = abs_gate(p["per_task_s"], args.abs_factor)
         if best is None or ceiling > best["ceiling_n_to_4n"]["8_to_32"]:
             best = p
-        print(f"probe: 8->32 ceiling {ceiling} "
-              f"(gate {args.min_ceiling}, elapsed {time.time()-t0:.0f}s)",
+        print(f"probe: 8->32 ceiling {ceiling}, abs gate "
+              f"{'ok' if ok_abs else 'LOADED'} "
+              f"(gates {args.min_ceiling} / {args.abs_factor}x nominal, "
+              f"elapsed {time.time()-t0:.0f}s)",
               file=sys.stderr)
-        if ceiling >= args.min_ceiling:
+        if ceiling >= args.min_ceiling and ok_abs:
             bench = run_bench()
-            bench["certified"] = True
-            bench["probe_ceiling_8_to_32"] = ceiling
-            bench["probe_per_task_s"] = p["per_task_s"]
+            attach(bench, p, certified=True)
             break
         if time.time() - t0 + args.wait > args.deadline_s:
             if not args.fallback:
@@ -84,9 +134,7 @@ def main() -> int:
                       file=sys.stderr)
                 return 1
             bench = run_bench()
-            bench["certified"] = False
-            bench["probe_ceiling_8_to_32"] = best["ceiling_n_to_4n"]["8_to_32"]
-            bench["probe_per_task_s"] = best["per_task_s"]
+            attach(bench, best, certified=False)
             break
         time.sleep(args.wait)
 
