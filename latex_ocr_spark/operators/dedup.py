@@ -501,9 +501,11 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
     executor-loss recoverability for speed; a long-running cluster job would
     use reliable checkpoint() to the job's checkpoint dir instead.)
     """
-    # both directions in ONE pass over the pair producer (explode, not a
-    # self-union), then materialize
-    both = (
+    # both directions AND both self-edges in ONE pass over the pair
+    # producer (a 4-struct explode + distinct — the old both→selfe→union
+    # shape materialized three frames / three jobs for the same edge set;
+    # self-edges fold the "own label" case into the one join+agg)
+    edges = (
         pairs.select(
             F.explode(
                 F.array(
@@ -513,6 +515,12 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
                     F.struct(
                         F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
                     ),
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_b").alias("b")
+                    ),
                 )
             ).alias("e")
         )
@@ -520,13 +528,6 @@ def dedup_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # self-edges make the propagation step a single join+agg (min over
-    # neighbors ∪ self)
-    selfe = both.select("a").distinct().select(
-        F.col("a"), F.col("a").alias("b")
-    )
-    edges = both.unionByName(selfe).localCheckpoint()
-    _free_local_checkpoint(both)  # edges materialized; both's blocks done
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
