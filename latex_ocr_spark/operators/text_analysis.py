@@ -262,15 +262,23 @@ def curate_by_percentile(
 
     Scale notes: the threshold frame is one row per language (here: one
     row) — broadcast back onto the gated stream, so the only wide shuffle
-    is the fingerprint keeper aggregation over survivors.
+    is the fingerprint keeper aggregation over survivors. The gated frame
+    feeds THREE subtrees (threshold agg, keeper agg, keeper-join row
+    stream) — persisted so the language/word-count gate expressions
+    evaluate once per row, not once per subtree (the curate_corpus
+    pattern; lifetime follows the caller's clearCache/unpersist cycle).
     """
     words = F.split(F.col("text"), " ")
-    gated = corpus.select(
-        "doc_id",
-        "text",
-        _lang_pred_expr(F.col("text")).alias("lang_pred"),
-        F.size(F.filter(words, lambda w: w != "")).cast("long").alias("n_words"),
-    ).filter(F.col("lang_pred") == lang)
+    gated = (
+        corpus.select(
+            "doc_id",
+            "text",
+            _lang_pred_expr(F.col("text")).alias("lang_pred"),
+            F.size(F.filter(words, lambda w: w != "")).cast("long").alias("n_words"),
+        )
+        .filter(F.col("lang_pred") == lang)
+        .persist()
+    )
     thr = gated.groupBy("lang_pred").agg(
         F.percentile("n_words", F.lit(float(p))).alias("thr")
     )
