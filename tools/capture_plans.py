@@ -66,6 +66,7 @@ def main() -> None:
         ),
         "ngram_jaccard": lambda: D.jaccard_pairs(dup, threshold=0.5),
         "curate_corpus": lambda: TA.curate_corpus(dup),
+        "curate_percentile": lambda: TA.curate_by_percentile(docs_src),
         "cosine_topk": lambda: S.cosine_topk(emb, k=5, n_queries=50),
         "lsh_cosine_topk": lambda: S.lsh_cosine_topk(emb, k=5, n_queries=50),
         "lm_score": lambda: lm_score(docs_src, alpha=0.5),
