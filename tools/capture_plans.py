@@ -69,6 +69,13 @@ def main() -> None:
         "curate_percentile": lambda: TA.curate_by_percentile(docs_src),
         "cosine_topk": lambda: S.cosine_topk(emb, k=5, n_queries=50),
         "lsh_cosine_topk": lambda: S.lsh_cosine_topk(emb, k=5, n_queries=50),
+        "ivf_cosine_topk": lambda: S.ivf_cosine_topk(emb, k=5, n_queries=50),
+        "embedding_neardup": lambda: S.embedding_neardup_pairs(
+            emb, threshold=0.99
+        ),
+        "semantic_dedup": lambda: S.semantic_dedup(
+            emb, n_clusters=8, threshold=0.99
+        ),
         "lm_score": lambda: lm_score(docs_src, alpha=0.5),
         "perplexity": lambda: perplexity_metric(
             spark, corpus, cfg=ModelConfig.small()
